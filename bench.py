@@ -1,0 +1,86 @@
+"""Headline benchmark: CGSchNet 1ENH-scale Langevin throughput on one chip.
+
+Mirrors the reference measurement protocol (throughput over the second half
+of the run, warm-up excluded; reference: src/flashmd/simulation/base.py:
+564-571, 748-787 and scripts/nvt_langevin.py:148-177) on the reference's
+headline config: 1ENH-scale CG protein (~266 beads), batch 128, quantized
+(bf16) filter/output networks. Baseline to beat: 2861 timestep*mol/s
+(README.md:76-81, RTX PRO 6000).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N / 2861}
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE = 2861.0  # timestep*mol/s, reference README.md:81
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from flashmd_tpu.data.system import collate
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.simulation.langevin import LangevinSimulation
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "128"))
+    n_atoms = int(os.environ.get("BENCH_ATOMS", "266"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "600"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "100"))
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    message_passing = os.environ.get("BENCH_MP", "xla")
+
+    ff, configs = cgschnet_1enh_like(
+        n_atoms=n_atoms,
+        batch_size=batch_size,
+        precision=precision,
+        message_passing=message_passing,
+    )
+
+    sim = LangevinSimulation(
+        dt=0.004,
+        friction=1.0,
+        n_timesteps=n_steps,
+        save_interval=chunk,
+        random_seed=103838,
+        gptq=None if precision == "fp32" else "bf16",
+    )
+    sim.attach_model_and_configurations(ff, configs, beta=1.67)
+
+    # Direct rollout timing (same math as sim.simulate(), minus file IO).
+    key = jax.random.PRNGKey(0)
+    carry = sim._init_carry(sim.initial_system, key)
+    rollout = sim._build_rollout(1)  # one frame = `chunk` timesteps
+
+    # Warm-up / compile + first half.
+    n_chunks = n_steps // chunk
+    half = n_chunks // 2
+    for _ in range(max(half, 1)):
+        carry, _ = rollout(carry)
+    jax.block_until_ready(carry["pos"])
+
+    t0 = time.perf_counter()
+    for _ in range(n_chunks - half):
+        carry, frames = rollout(carry)
+    jax.block_until_ready(carry["pos"])
+    elapsed = time.perf_counter() - t0
+
+    steps_timed = (n_chunks - half) * chunk
+    throughput = steps_timed * batch_size / elapsed
+
+    result = {
+        "metric": "cgschnet_1enh_batch128_langevin_throughput",
+        "value": round(throughput, 1),
+        "unit": "timestep*mol/s",
+        "vs_baseline": round(throughput / BASELINE, 3),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

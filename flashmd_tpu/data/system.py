@@ -1,0 +1,323 @@
+"""Immutable pytree containers describing a batch of molecular systems.
+
+TPU-native re-design of the reference's ``AtomicData`` (a mutable PyG ``Data``
+subclass; reference: src/flashmd/data/atomic_data.py:21-237) and of the PyG
+``collate`` batching used by the simulation engine
+(reference: src/flashmd/simulation/base.py:985-997).
+
+Design notes (why this is not a port)
+-------------------------------------
+The reference flattens ``n_sims`` molecules into one disjoint graph with a
+``batch`` vector and offsets every index map during collation
+(``AtomicData.__inc__``). That layout exists to serve PyG's scatter-based
+message passing on a GPU. On TPU we want static, dense, regular shapes, so a
+batch of molecules is a *stacked* ``[n_sims, n_atoms, ...]`` array instead.
+This is legal because the reference itself requires every configuration in a
+batch to have identical ``atom_types`` and identical prior index maps
+(reference: src/flashmd/simulation/base.py:914-983 ``validate_data_list``),
+i.e. the batch axis is embarrassingly regular: a perfect ``vmap``/sharding
+axis.
+
+Two kinds of objects live here:
+
+* :class:`Configuration` — a host-side description of ONE molecule (numpy).
+  This mirrors what the reference stores per-frame in its structure ``.pt``
+  files.
+* :class:`System` — the on-device pytree carried through ``lax.scan``:
+  positions/velocities are ``[S, A, 3]``; per-molecule constants
+  (types, masses) are stored once.
+* :class:`TermList` — a static interaction index map (bonds/angles/dihedrals
+  or a cached radius graph), the analogue of the reference's neighbor-list
+  dict schema (reference: src/flashmd/neighbor_list/neighbor_list.py:66-124).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+class TermList(struct.PyTreeNode):
+    """A fixed interaction list of ``order``-tuples of atom indices.
+
+    Equivalent of the reference neighbor-list dict
+    ``{tag, order, index_mapping[order, n], mapping_batch, cell_shifts, rcut,
+    self_interaction}`` (reference:
+    src/flashmd/neighbor_list/neighbor_list.py:66-124), with two differences:
+
+    * indices are **per-molecule** (no batch offsets): the batch axis is
+      explicit elsewhere, so ``mapping_batch`` is unnecessary.
+    * the container is an immutable pytree; metadata is static so it never
+      triggers retracing.
+    """
+
+    index_mapping: jnp.ndarray  # [order, n_terms] int32
+    tag: str = struct.field(pytree_node=False, default="")
+    order: int = struct.field(pytree_node=False, default=2)
+    rcut: Optional[float] = struct.field(pytree_node=False, default=None)
+    self_interaction: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def n_terms(self) -> int:
+        return self.index_mapping.shape[1]
+
+
+def make_term_list(
+    index_mapping,
+    tag: str = "",
+    order: Optional[int] = None,
+    rcut: Optional[float] = None,
+    self_interaction: bool = False,
+) -> TermList:
+    """Build a :class:`TermList`, validating shape against ``order``.
+
+    Mirrors ``make_neighbor_list`` (reference:
+    src/flashmd/neighbor_list/neighbor_list.py:66-124).
+    """
+    index_mapping = jnp.asarray(index_mapping, dtype=jnp.int32)
+    if index_mapping.ndim != 2:
+        raise RuntimeError(
+            f"index_mapping must be [order, n_terms], got shape "
+            f"{index_mapping.shape}"
+        )
+    if order is None:
+        order = int(index_mapping.shape[0])
+    if index_mapping.shape[0] != order:
+        raise RuntimeError(
+            f"index_mapping shape does not match the order: "
+            f"{index_mapping.shape[0]} != {order}"
+        )
+    return TermList(
+        index_mapping=index_mapping,
+        tag=tag,
+        order=order,
+        rcut=rcut,
+        self_interaction=self_interaction,
+    )
+
+
+def validate_term_list(term_list) -> bool:
+    """True iff ``term_list`` is a usable :class:`TermList`.
+
+    Equivalent of ``validate_neighborlist`` (reference:
+    src/flashmd/neighbor_list/neighbor_list.py:131-163).
+    """
+    return (
+        isinstance(term_list, TermList)
+        and term_list.index_mapping.ndim == 2
+        and term_list.index_mapping.shape[0] == term_list.order
+    )
+
+
+@dataclasses.dataclass
+class Configuration:
+    """Host-side description of a single molecule (one frame).
+
+    The analogue of one reference ``AtomicData`` instance
+    (reference: src/flashmd/data/atomic_data.py:21-237). Arrays are numpy;
+    nothing here is traced.
+    """
+
+    pos: np.ndarray  # [A, 3]
+    atom_types: np.ndarray  # [A] int
+    masses: Optional[np.ndarray] = None  # [A]
+    velocities: Optional[np.ndarray] = None  # [A, 3]
+    neighbor_lists: Dict[str, TermList] = dataclasses.field(
+        default_factory=dict
+    )
+    tag: str = ""
+
+    def __post_init__(self):
+        self.pos = np.asarray(self.pos, dtype=np.float64)
+        if self.pos.ndim != 2:
+            raise ValueError(f"pos must be [A, 3], got {self.pos.shape}")
+        self.atom_types = np.asarray(self.atom_types)
+        if self.atom_types.shape[0] != self.pos.shape[0]:
+            raise ValueError("atom_types length must match pos")
+        if self.masses is not None:
+            self.masses = np.asarray(self.masses, dtype=np.float64)
+            if self.masses.shape != self.atom_types.shape:
+                raise ValueError("masses shape must match atom_types")
+        if self.velocities is not None:
+            self.velocities = np.asarray(self.velocities, dtype=np.float64)
+            if self.velocities.shape != self.pos.shape:
+                raise ValueError("velocities shape must match pos")
+
+    @property
+    def n_atoms(self) -> int:
+        return self.pos.shape[0]
+
+    @classmethod
+    def from_points(
+        cls,
+        pos,
+        atom_types,
+        masses=None,
+        velocities=None,
+        neighbor_lists=None,
+        tag: str = "",
+    ) -> "Configuration":
+        """Construct from raw arrays (reference:
+        src/flashmd/data/atomic_data.py:105-186 ``AtomicData.from_points``)."""
+        return cls(
+            pos=np.asarray(pos),
+            atom_types=np.asarray(atom_types),
+            masses=None if masses is None else np.asarray(masses),
+            velocities=None if velocities is None else np.asarray(velocities),
+            neighbor_lists=dict(neighbor_lists or {}),
+            tag=tag,
+        )
+
+
+class System(struct.PyTreeNode):
+    """The batched, on-device simulation state.
+
+    Replaces the reference's collated ``AtomicData`` + ``batch``/``ptr``
+    bookkeeping (reference: src/flashmd/simulation/base.py:985-997). Shapes:
+
+    * ``pos`` / ``velocities``: ``[S, A, 3]`` — the only arrays that evolve.
+    * ``atom_types``: ``[A]`` — identical across the batch by construction
+      (validated at collation, like reference base.py:937-946).
+    * ``masses``: ``[S, A]``.
+    * ``beta``: ``[S]`` inverse temperatures.
+    * ``term_lists``: static per-molecule interaction maps shared by all S.
+    """
+
+    pos: jnp.ndarray  # [S, A, 3]
+    atom_types: jnp.ndarray  # [A] int32
+    masses: jnp.ndarray  # [S, A]
+    beta: jnp.ndarray  # [S]
+    velocities: Optional[jnp.ndarray] = None  # [S, A, 3]
+    term_lists: Dict[str, TermList] = struct.field(default_factory=dict)
+
+    @property
+    def n_sims(self) -> int:
+        return self.pos.shape[0]
+
+    @property
+    def n_atoms(self) -> int:
+        return self.pos.shape[1]
+
+    @property
+    def n_dims(self) -> int:
+        return self.pos.shape[2]
+
+
+def validate_configurations(configurations: Sequence[Configuration]):
+    """Check that a batch of configurations is collatable.
+
+    Mirrors ``_Simulation.validate_data_list``
+    (reference: src/flashmd/simulation/base.py:914-983): same positions shape,
+    identical atom types, identical neighbor-list keysets and index maps, and
+    consistent presence of masses.
+    """
+    if len(configurations) == 0:
+        raise ValueError("Cannot collate an empty configuration list")
+    ref = configurations[0]
+    have_masses = ref.masses is not None
+    for frame, cfg in enumerate(configurations):
+        if cfg.pos.shape != ref.pos.shape:
+            raise ValueError(
+                f"Positions shape {cfg.pos.shape} at frame {frame} differs "
+                f"from shape {ref.pos.shape} in previous frames."
+            )
+        if not np.array_equal(cfg.atom_types, ref.atom_types):
+            raise ValueError(
+                f"Atom types at frame {frame} are not equal to atom types "
+                "in previous frames."
+            )
+        if set(cfg.neighbor_lists.keys()) != set(ref.neighbor_lists.keys()):
+            raise ValueError(
+                f"Neighbor list keyset {set(cfg.neighbor_lists.keys())} at "
+                f"frame {frame} does not match previous frames."
+            )
+        for key, tl in cfg.neighbor_lists.items():
+            if not np.array_equal(
+                np.asarray(tl.index_mapping),
+                np.asarray(ref.neighbor_lists[key].index_mapping),
+            ):
+                raise ValueError(
+                    f"Index mapping for key {key} at frame {frame} does not "
+                    "match those of previous frames."
+                )
+        if (cfg.masses is not None) != have_masses:
+            raise ValueError(
+                f"Inconsistent mass specification at frame {frame}."
+            )
+
+
+def collate(
+    configurations: Sequence[Configuration],
+    beta=None,
+    dtype=jnp.float32,
+) -> System:
+    """Stack configurations into a batched :class:`System`.
+
+    The TPU-native replacement for PyG ``collate``
+    (reference: src/flashmd/simulation/base.py:985-997): no index offsetting,
+    no ``batch``/``ptr`` vectors — just a leading batch axis.
+    """
+    validate_configurations(configurations)
+    n_sims = len(configurations)
+
+    pos = jnp.asarray(
+        np.stack([c.pos for c in configurations]), dtype=dtype
+    )
+    atom_types = jnp.asarray(configurations[0].atom_types, dtype=jnp.int32)
+    if configurations[0].masses is not None:
+        masses = jnp.asarray(
+            np.stack([c.masses for c in configurations]), dtype=dtype
+        )
+    else:
+        masses = jnp.ones((n_sims, pos.shape[1]), dtype=dtype)
+
+    velocities = None
+    if all(c.velocities is not None for c in configurations):
+        velocities = jnp.asarray(
+            np.stack([c.velocities for c in configurations]), dtype=dtype
+        )
+
+    if beta is None:
+        beta_arr = jnp.ones((n_sims,), dtype=dtype)
+    elif np.ndim(beta) == 0:
+        if float(beta) <= 0:
+            raise ValueError(
+                f"Beta must be positive, but {beta} was supplied"
+            )
+        beta_arr = jnp.full((n_sims,), float(beta), dtype=dtype)
+    else:
+        beta_np = np.asarray(beta, dtype=np.float64)
+        if not np.all(beta_np > 0) or not np.all(np.isfinite(beta_np)):
+            raise ValueError(
+                f"All betas must be positive and finite, got {beta_np}."
+            )
+        if beta_np.shape[0] != n_sims:
+            raise ValueError(
+                f"Got {beta_np.shape[0]} betas for {n_sims} configurations."
+            )
+        beta_arr = jnp.asarray(beta_np, dtype=dtype)
+
+    term_lists = {
+        k: TermList(
+            index_mapping=jnp.asarray(tl.index_mapping, dtype=jnp.int32),
+            tag=tl.tag,
+            order=tl.order,
+            rcut=tl.rcut,
+            self_interaction=tl.self_interaction,
+        )
+        for k, tl in configurations[0].neighbor_lists.items()
+    }
+
+    return System(
+        pos=pos,
+        atom_types=atom_types,
+        masses=masses,
+        beta=beta_arr,
+        velocities=velocities,
+        term_lists=term_lists,
+    )

@@ -1,0 +1,135 @@
+"""Force-field composition: network + priors -> energies and forces.
+
+Re-design of the reference output wrappers
+(reference: src/flashmd/models/gradients.py — SumOut :19-158,
+GradientsOut :194-293, EnergyOut :161-191).
+
+The reference composes mutable modules that write into ``data.out`` and
+computes forces with ``torch.autograd.grad`` through hand-written backward
+kernels. Here the composition is a pure function: a :class:`ForceField`
+pytree holds the SchNet parameters and the specialized priors, and
+
+    ``forces = -jax.grad(total_energy)(pos)``
+
+differentiates through the whole fused forward in one pass. Energy
+components per sub-model are returned as auxiliary outputs (the analogue of
+``data.out[name][ENERGY_KEY]``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.neighborlist import (
+    NeighborMatrix,
+    batched_radius_neighbor_matrix,
+)
+from ..prior.priors import Prior, prior_energy
+from .schnet import SchNetConfig, schnet_energy
+
+SCHNET_NAME = "SchNet"
+
+
+class ForceField(struct.PyTreeNode):
+    """A trained model: SchNet parameters + specialized priors.
+
+    The analogue of the reference checkpoint object
+    ``GradientsOut(SumOut({SchNet, priors...}))``
+    (reference: src/flashmd/models/pyg_forward_compatibility.py:227-243).
+    ``neighbor_capacity`` is the static K of the padded neighbor matrix.
+    """
+
+    schnet_params: Optional[dict]
+    priors: Dict[str, Prior]
+    schnet_config: Optional[SchNetConfig] = struct.field(
+        pytree_node=False, default=None
+    )
+    neighbor_capacity: int = struct.field(pytree_node=False, default=64)
+
+    @property
+    def rcut(self) -> float:
+        return float(self.schnet_config.cutoff.cutoff_upper)
+
+
+def energy_components(
+    ff: ForceField,
+    pos: jnp.ndarray,
+    atom_types: jnp.ndarray,
+    nbr: Optional[NeighborMatrix],
+) -> Dict[str, jnp.ndarray]:
+    """Per-model energies of ONE molecule (each a scalar).
+
+    Equivalent of SumOut.forward populating ``data.out[name]["energy"]``
+    (reference: gradients.py:72-152)."""
+    out = {}
+    if ff.schnet_params is not None:
+        out[SCHNET_NAME] = schnet_energy(
+            ff.schnet_params, ff.schnet_config, pos, atom_types, nbr
+        )
+    for name, prior in ff.priors.items():
+        out[name] = prior_energy(prior, pos)
+    return out
+
+
+def total_energy(
+    ff: ForceField,
+    pos: jnp.ndarray,
+    atom_types: jnp.ndarray,
+    nbr: Optional[NeighborMatrix],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """(scalar total energy, components) of one molecule."""
+    comps = energy_components(ff, pos, atom_types, nbr)
+    total = jnp.asarray(0.0, dtype=pos.dtype)
+    for v in comps.values():
+        total = total + v
+    return total, comps
+
+
+def build_neighbors(ff: ForceField, pos_batch: jnp.ndarray) -> NeighborMatrix:
+    """Batched padded radius graph for the SchNet term.
+
+    Rebuilt every force evaluation from current positions (the reference
+    rebuilds via torch_cluster each forward, schnet.py:209-242). Indices
+    carry no gradient, so this sits outside the differentiated region.
+    """
+    return batched_radius_neighbor_matrix(
+        jax.lax.stop_gradient(pos_batch),
+        rcut=ff.rcut,
+        capacity=ff.neighbor_capacity,
+    )
+
+
+def compute_energy_forces(
+    ff: ForceField,
+    pos_batch: jnp.ndarray,  # [S, A, 3]
+    atom_types: jnp.ndarray,  # [A]
+    nbr: Optional[NeighborMatrix] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Batched potential + forces: ([S], [S, A, 3], components dict of [S]).
+
+    Equivalent of GradientsOut.forward over the collated batch
+    (reference: gradients.py:227-290 + base.py:821-909
+    ``calculate_potential_and_forces``). Forces are exact gradients of the
+    fp32 total energy; the reduction order is fixed by the program, so
+    repeated evaluation is bitwise deterministic.
+    """
+    if nbr is None and ff.schnet_params is not None:
+        nbr = build_neighbors(ff, pos_batch)
+
+    def batch_total(p):
+        if nbr is None:
+            totals, comps = jax.vmap(
+                lambda q: total_energy(ff, q, atom_types, None)
+            )(p)
+        else:
+            totals, comps = jax.vmap(
+                lambda q, n: total_energy(ff, q, atom_types, n)
+            )(p, nbr)
+        return jnp.sum(totals), (totals, comps)
+
+    grad, (totals, comps) = jax.grad(batch_total, has_aux=True)(pos_batch)
+    return totals, -grad, comps

@@ -1,0 +1,98 @@
+"""Functional multilayer perceptrons.
+
+Re-design of the reference MLP (reference: src/flashmd/models/mlp.py:6-57)
+and its Xavier-uniform/zero-bias init
+(reference: src/flashmd/models/_module_init.py:4-28).
+
+Weights are stored as ``[in, out]`` (JAX ``x @ w`` convention; the reference
+stores torch's ``[out, in]`` — the checkpoint converter transposes).
+
+The ``precision`` argument selects the compute dtype of the matmuls. With
+``"bf16"`` weights and activations are cast to bfloat16 and accumulated in
+fp32 on the MXU — the TPU-native equivalent of the reference's W16A16
+(fp16 tensor-core) quantized filter/output networks
+(reference: src/flashmd/models/gptq.py:30-371).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+ACTIVATIONS = {
+    "tanh": jnp.tanh,
+    "relu": jax.nn.relu,
+    "silu": jax.nn.silu,
+    "identity": lambda x: x,
+}
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32, gain: float = 1.0):
+    """torch.nn.init.xavier_uniform_ for a [in, out] weight."""
+    fan_in, fan_out = shape[0], shape[1]
+    a = gain * math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, minval=-a, maxval=a)
+
+
+def init_mlp(
+    key,
+    layer_widths: Sequence[int],
+    last_bias: bool = True,
+    dtype=jnp.float32,
+):
+    """Initialize MLP params: Xavier-uniform weights, zero biases.
+
+    Mirrors reference MLP.__init__ + reset_parameters (mlp.py:30-54): a
+    Linear+activation pair per hidden width, and a final Linear whose bias is
+    controlled by ``last_bias``.
+    """
+    layer_widths = list(layer_widths)
+    if len(layer_widths) < 2:
+        raise ValueError("layer_widths needs at least [in, out]")
+    n_layers = len(layer_widths) - 1
+    keys = jax.random.split(key, n_layers)
+    layers = []
+    for i, (w_in, w_out) in enumerate(
+        zip(layer_widths[:-1], layer_widths[1:])
+    ):
+        is_last = i == n_layers - 1
+        layer = {"w": xavier_uniform(keys[i], (w_in, w_out), dtype)}
+        if (not is_last) or last_bias:
+            layer["b"] = jnp.zeros((w_out,), dtype)
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def _dense(x, layer, precision: str):
+    w = layer["w"]
+    if precision == "bf16":
+        y = jnp.dot(
+            x.astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = jnp.dot(x, w)
+    if "b" in layer:
+        y = y + layer["b"].astype(y.dtype)
+    return y
+
+
+def mlp_apply(
+    params,
+    x,
+    activation: str = "tanh",
+    precision: str = "fp32",
+):
+    """Apply the MLP: Linear -> act -> ... -> Linear (no act on last layer).
+
+    Matches reference MLP.forward semantics (mlp.py:41-57).
+    """
+    act = ACTIVATIONS[activation]
+    layers = params["layers"]
+    for layer in layers[:-1]:
+        x = act(_dense(x, layer, precision))
+    return _dense(x, layers[-1], precision)

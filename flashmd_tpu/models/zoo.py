@@ -1,0 +1,197 @@
+"""Synthetic flagship models for benchmarks, smoke tests and demos.
+
+The reference's headline benchmark is the trained 1ENH CGSchNet checkpoint
+(HF hub ``pingzhili/cg-schnet``, reference: src/flashmd/hub.py:8-49; README
+reports 2861 timestep*mol/s at batch 128). That checkpoint cannot be
+downloaded in this environment, so :func:`cgschnet_1enh_like` builds a
+randomly initialized model with the same architecture dimensions and a
+protein-like CG structure with the same scale (~266 beads, ~55 neighbors
+per bead within the cutoff — consistent with the reference's E = 1.9M edges
+at N = 34k / batch 128, csr_kernels.py:516-519). Throughput depends only on
+shapes, not weight values, so this is a faithful performance stand-in; the
+checkpoint converter (checkpoint_io) covers real trained weights.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.system import Configuration, make_term_list
+from ..models.cutoff import CosineCutoff
+from ..models.forcefield import ForceField
+from ..models.schnet import SchNetConfig, init_schnet
+from ..ops.neighborlist import radius_neighbor_matrix, suggest_capacity
+from ..prior.priors import Prior
+
+
+def random_cg_protein(
+    n_atoms: int = 266,
+    n_types: int = 25,
+    bond_length: float = 3.8,
+    confinement_radius: float = 22.0,
+    seed: int = 0,
+) -> Configuration:
+    """A collapsed random-walk CG chain, 1ENH-like in size and density."""
+    rng = np.random.default_rng(seed)
+    pos = np.zeros((n_atoms, 3))
+    p = np.zeros(3)
+    for i in range(1, n_atoms):
+        step = rng.normal(size=3)
+        step *= bond_length / np.linalg.norm(step)
+        cand = p + step
+        # soft confinement: pull back toward the origin when outside
+        r = np.linalg.norm(cand)
+        if r > confinement_radius:
+            cand *= confinement_radius / r
+        p = cand
+        pos[i] = p
+    types = rng.integers(0, n_types, size=n_atoms)
+    masses = rng.uniform(50.0, 150.0, size=n_atoms) / 418.4
+
+    idx = np.arange(n_atoms)
+    bonds = np.stack([idx[:-1], idx[1:]])
+    angles = np.stack([idx[:-2], idx[1:-1], idx[2:]])
+    dihedrals = np.stack([idx[:-3], idx[1:-2], idx[2:-1], idx[3:]])
+    # Fully-connected non-bonded pairs, bonded pairs excluded (the
+    # reference Repulsion uses a fully-connected list,
+    # repulsion.py:44-45).
+    ii, jj = np.triu_indices(n_atoms, k=2)
+    repulsion = np.stack([ii, jj])
+
+    return Configuration(
+        pos=pos,
+        atom_types=types,
+        masses=masses,
+        neighbor_lists={
+            "bonds": make_term_list(bonds, tag="bonds", order=2),
+            "angles": make_term_list(angles, tag="angles", order=3),
+            "dihedrals": make_term_list(dihedrals, tag="dihedrals", order=4),
+            "repulsion": make_term_list(repulsion, tag="repulsion", order=2),
+        },
+        tag="random_cg_protein",
+    )
+
+
+def _chain_priors(cfg: Configuration, seed: int = 0):
+    """Stable, physically-sane prior parameters for the synthetic chain."""
+    rng = np.random.default_rng(seed + 1)
+    nl = cfg.neighbor_lists
+
+    def mk(name, kind, feature, params):
+        return Prior(
+            index_mapping=jnp.asarray(
+                nl[name].index_mapping, dtype=jnp.int32
+            ),
+            params={k: jnp.asarray(v, jnp.float32) for k, v in params.items()},
+            kind=kind,
+            name=name,
+            feature=feature,
+        )
+
+    nb = nl["bonds"].n_terms
+    na = nl["angles"].n_terms
+    nd = nl["dihedrals"].n_terms
+    nr = nl["repulsion"].n_terms
+    priors = {
+        "bonds": mk(
+            "bonds",
+            "harmonic_bonds",
+            "distance",
+            {
+                "x0": np.full(nb, 3.8),
+                "k": rng.uniform(40.0, 80.0, nb),
+            },
+        ),
+        "angles": mk(
+            "angles",
+            "harmonic_angles",
+            "angle_cos",
+            {
+                "x0": rng.uniform(-0.4, 0.0, na),
+                "k": rng.uniform(5.0, 15.0, na),
+            },
+        ),
+        "dihedrals": mk(
+            "dihedrals",
+            "dihedral",
+            "torsion",
+            {
+                "k1s": rng.uniform(-0.5, 0.5, (nd, 3)),
+                "k2s": rng.uniform(-0.5, 0.5, (nd, 3)),
+                "v_0": np.zeros((nd, 1)),
+            },
+        ),
+        "repulsion": mk(
+            "repulsion",
+            "repulsion",
+            "distance",
+            {"sigma": np.full(nr, 3.0)},
+        ),
+    }
+    return priors
+
+
+def cgschnet_1enh_like(
+    n_atoms: int = 266,
+    batch_size: int = 128,
+    cutoff_upper: float = 10.0,
+    num_interactions: int = 3,
+    precision: str = "bf16",
+    neighbor_capacity: Optional[int] = None,
+    message_passing: str = "xla",
+    seed: int = 0,
+) -> Tuple[ForceField, List[Configuration]]:
+    """Flagship benchmark model: CGSchNet at 1ENH scale + priors.
+
+    Architecture dimensions follow StandardSchNet defaults
+    (reference schnet.py:743-841: hidden 128, filters 128, 50 RBF,
+    embedding 100) with a [128, 128, 64, 1] output head (the "typical"
+    structure per gptq.py:201).
+    """
+    base = random_cg_protein(n_atoms=n_atoms, seed=seed)
+
+    config = SchNetConfig(
+        hidden_channels=128,
+        embedding_size=100,
+        num_filters=128,
+        num_interactions=num_interactions,
+        num_rbf=50,
+        cutoff=CosineCutoff(0.0, cutoff_upper),
+        output_hidden_layer_widths=(128, 64),
+        precision=precision,
+        message_passing=message_passing,
+    )
+    params = init_schnet(jax.random.PRNGKey(seed), config)
+
+    if neighbor_capacity is None:
+        nm = radius_neighbor_matrix(
+            jnp.asarray(base.pos, jnp.float32), cutoff_upper,
+            capacity=n_atoms,
+        )
+        neighbor_capacity = min(
+            suggest_capacity(int(nm.n_max), slack=1.35), n_atoms
+        )
+
+    ff = ForceField(
+        schnet_params=params,
+        priors=_chain_priors(base, seed),
+        schnet_config=config,
+        neighbor_capacity=neighbor_capacity,
+    )
+
+    rng = np.random.default_rng(seed + 7)
+    configurations = []
+    for s in range(batch_size):
+        cfg = Configuration(
+            pos=base.pos + rng.normal(scale=0.05, size=base.pos.shape),
+            atom_types=base.atom_types,
+            masses=base.masses,
+            neighbor_lists=base.neighbor_lists,
+            tag=base.tag,
+        )
+        configurations.append(cfg)
+    return ff, configurations

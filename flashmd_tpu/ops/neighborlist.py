@@ -1,0 +1,206 @@
+"""Fixed-capacity, padded radius-graph construction.
+
+TPU-native replacement for the reference's neighbor-list stack — external
+``torch_cluster.radius_graph`` (reference:
+src/flashmd/neighbor_list/torch_impl.py:8-23,175-226) and the optional fused
+CUDA kernel ``mlcg_opt_radius.radius_distance`` (reference:
+src/flashmd/models/schnet.py:20-26,233-242).
+
+Design (why this is different from the reference)
+-------------------------------------------------
+``radius_graph`` returns a *dynamic*-length edge list, which is exactly what
+XLA cannot compile efficiently: every step would have a different shape. The
+reference pays for this with per-(N,K)-shape Triton re-autotuning and
+``torch.compile(dynamic=True)``. Here the neighbor structure is a **padded
+per-node neighbor matrix** ``idx [A, K]`` + ``mask [A, K]`` with a static
+capacity ``K``:
+
+* shapes never change → the whole MD rollout compiles once;
+* message passing becomes a gather + masked reduction over the K axis — no
+  scatter, no atomics, bitwise-deterministic by construction (the reference
+  needed its CSR segment-reduce kernels, csr_kernels.py:88-944, to get the
+  same guarantee);
+* neighbors are distance-sorted, so capacity overflow drops the *farthest*
+  pairs (the reference's ``max_num_neighbors`` drops random ones,
+  schnet.py:767-770).
+
+At coarse-grained protein sizes (A of order a few hundred) the dense
+``[A, A]`` distance matrix is tiny, so neighbor search is a single fused
+batched computation — the same observation that motivated the reference's
+fused radius kernel, executed the XLA way.
+
+Periodic boundary conditions use the minimum-image convention for a given
+cell (valid for rcut < half the smallest box dimension); the reference's
+explicit image replication (torch_impl.py:102-163) is not needed at CG scale.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from flax import struct
+
+
+class NeighborMatrix(struct.PyTreeNode):
+    """Padded per-node neighborhood: for each atom i, up to K neighbors.
+
+    ``idx[i, k]`` is the atom index of the k-th neighbor of i (padded with
+    ``i`` itself), ``mask[i, k]`` marks real neighbors. ``n_max`` is the
+    largest true neighbor count seen at build time (for overflow checks).
+    """
+
+    idx: jnp.ndarray  # [A, K] int32  (or [S, A, K] when batched)
+    mask: jnp.ndarray  # [A, K] bool
+    n_max: jnp.ndarray  # [] int32, max true neighbors over atoms
+
+    @property
+    def capacity(self) -> int:
+        return self.idx.shape[-1]
+
+
+def _inv_3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / det) — avoids LAPACK inside jit."""
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    co = jnp.array(
+        [
+            [e * i - f * h, c * h - b * i, b * f - c * e],
+            [f * g - d * i, a * i - c * g, c * d - a * f],
+            [d * h - e * g, b * g - a * h, a * e - b * d],
+        ],
+        dtype=m.dtype,
+    )
+    det = a * co[0, 0] + b * co[1, 0] + c * co[2, 0]
+    return co / det
+
+
+def _pairwise_displacements(
+    pos: jnp.ndarray, cell: Optional[jnp.ndarray]
+) -> jnp.ndarray:
+    """All-pairs displacement vectors dr[i, j] = pos[j] - pos[i], [A, A, 3]."""
+    dr = pos[None, :, :] - pos[:, None, :]
+    if cell is not None:
+        # Minimum-image convention: wrap fractional displacement to [-0.5, 0.5).
+        cell = jnp.asarray(cell, dtype=pos.dtype)
+        frac = dr @ _inv_3x3(cell)
+        frac = frac - jnp.round(frac)
+        dr = frac @ cell
+    return dr
+
+
+def radius_neighbor_matrix(
+    pos: jnp.ndarray,
+    rcut: float,
+    capacity: int,
+    cell: Optional[jnp.ndarray] = None,
+    self_interaction: bool = False,
+    exclude_pairs: Optional[jnp.ndarray] = None,
+) -> NeighborMatrix:
+    """Build the padded neighbor matrix of one molecule.
+
+    Parameters
+    ----------
+    pos: [A, 3] positions.
+    rcut: strict cutoff radius (pairs with d < rcut are neighbors, matching
+        torch_cluster's convention used by the reference).
+    capacity: static K. If an atom has more than K neighbors, the
+        farthest are dropped (check ``n_max`` to detect this).
+    cell: optional [3, 3] lattice (rows are lattice vectors) for
+        minimum-image PBC.
+    self_interaction: include i == i pairs (the reference forbids this,
+        schnet.py:146-150; kept for API parity).
+    exclude_pairs: optional [2, P] index pairs to exclude (equivalent of the
+        reference's ``exc_pair_index``, schnet.py:221-242).
+
+    Batch over molecules with ``jax.vmap``.
+    """
+    n_atoms = pos.shape[0]
+    dr = _pairwise_displacements(pos, cell)
+    d2 = jnp.sum(dr * dr, axis=-1)  # [A, A]
+
+    valid = d2 < (rcut * rcut)
+    if not self_interaction:
+        valid = valid & ~jnp.eye(n_atoms, dtype=bool)
+    if exclude_pairs is not None:
+        excl = jnp.zeros((n_atoms, n_atoms), dtype=bool)
+        excl = excl.at[exclude_pairs[0], exclude_pairs[1]].set(True)
+        excl = excl.at[exclude_pairs[1], exclude_pairs[0]].set(True)
+        valid = valid & ~excl
+
+    # Distance-sorted compaction: invalid slots get +inf keys and sort last.
+    # top_k (k = capacity) is much cheaper than a full argsort on TPU.
+    k_eff = min(capacity, n_atoms)
+    key = jnp.where(valid, d2, jnp.inf)
+    _, order = jax.lax.top_k(-key, k_eff)  # [A, k_eff], nearest first
+    mask = jnp.take_along_axis(valid, order, axis=1)  # [A, k_eff]
+    row = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
+    idx = jnp.where(mask, order.astype(jnp.int32), row)  # pad with self
+    if k_eff < capacity:  # requested capacity exceeds atom count: pad slots
+        pad = capacity - k_eff
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(row, (n_atoms, pad))], axis=1
+        )
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((n_atoms, pad), dtype=bool)], axis=1
+        )
+
+    n_max = jnp.max(jnp.sum(valid, axis=1)).astype(jnp.int32)
+    return NeighborMatrix(idx=idx, mask=mask, n_max=n_max)
+
+
+def batched_radius_neighbor_matrix(
+    pos: jnp.ndarray,
+    rcut: float,
+    capacity: int,
+    cell: Optional[jnp.ndarray] = None,
+    self_interaction: bool = False,
+    exclude_pairs: Optional[jnp.ndarray] = None,
+) -> NeighborMatrix:
+    """vmap of :func:`radius_neighbor_matrix` over a [S, A, 3] batch."""
+    fn = lambda p: radius_neighbor_matrix(
+        p,
+        rcut,
+        capacity,
+        cell=cell,
+        self_interaction=self_interaction,
+        exclude_pairs=exclude_pairs,
+    )
+    # Note: n_max stays per-simulation ([S]) so the result is vmap-able
+    # along the batch axis; reduce with .max() when a scalar is needed.
+    return jax.vmap(fn)(pos)
+
+
+class EdgeList(NamedTuple):
+    """Flat padded edge list [2, E] + mask — the reference-layout view.
+
+    Kept for parity with the reference's ``index_mapping [2, E]`` interface
+    (src/flashmd/neighbor_list/neighbor_list.py:66-124) and for unit tests
+    comparing against edge-wise formulas; the neighbor-matrix path is the
+    production layout.
+    """
+
+    senders: jnp.ndarray  # [E] source atom j  (edge_index[0] in reference)
+    receivers: jnp.ndarray  # [E] destination atom i
+    mask: jnp.ndarray  # [E] bool
+
+
+def neighbor_matrix_to_edges(nm: NeighborMatrix) -> EdgeList:
+    """Flatten a per-molecule [A, K] neighbor matrix into E = A*K edges."""
+    n_atoms, capacity = nm.idx.shape
+    receivers = jnp.repeat(
+        jnp.arange(n_atoms, dtype=jnp.int32), capacity
+    )
+    senders = nm.idx.reshape(-1)
+    return EdgeList(
+        senders=senders, receivers=receivers, mask=nm.mask.reshape(-1)
+    )
+
+
+def suggest_capacity(n_true_max: int, slack: float = 1.25, align: int = 8):
+    """Round a measured max neighbor count up to an aligned static capacity."""
+    cap = int(n_true_max * slack) + 1
+    return ((cap + align - 1) // align) * align

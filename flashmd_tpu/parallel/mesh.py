@@ -1,0 +1,91 @@
+"""Multi-chip scaling: batch/replica sharding over a device mesh.
+
+The reference is a single-process, single-GPU framework — its only scale
+axes are the in-batch molecule count and in-batch PT replicas
+(reference: src/flashmd/simulation/base.py:985-997,
+parallel_tempering.py:204-254; no torch.distributed anywhere). On TPU,
+multi-chip is the default, so this module makes the batch (molecule x
+replica) axis a first-class mesh axis:
+
+* trajectories are embarrassingly parallel -> shard ``[S, ...]`` arrays over
+  a 1-D ``("replica",)`` mesh; each chip integrates its own molecules with
+  zero steady-state communication;
+* parallel-tempering exchange is a batch-axis permutation
+  (see flashmd_tpu.simulation.parallel_tempering) — under this sharding XLA
+  lowers it to collective-permute traffic over ICI, with per-replica scalar
+  energies all-gathered implicitly (tiny);
+* multi-host: call :func:`initialize_distributed` first (jax.distributed),
+  then the same code spans DCN.
+
+Model parallelism (TP/PP) is deliberately out of scope: SchNet here is
+O(100k) params — hundreds of times smaller than one chip's HBM. This is a
+documented design choice, not an omission (SURVEY.md section 2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+REPLICA_AXIS = "replica"
+
+
+def initialize_distributed(**kwargs):
+    """Multi-host init (no-op on a single host). jax.distributed wrapper."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError):
+        pass
+
+
+def make_replica_mesh(n_devices: Optional[int] = None) -> Mesh:
+    """1-D mesh over the replica/batch axis."""
+    devices = np.asarray(jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, (REPLICA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a [S, ...] batch-major array."""
+    return NamedSharding(mesh, P(REPLICA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_carry(carry: dict, mesh: Mesh) -> dict:
+    """Place an integrator carry on the mesh: batch-major arrays sharded
+    over the replica axis, everything else replicated.
+
+    After this, jit-compiled rollouts run SPMD across the mesh with XLA
+    inserting any collectives (e.g. the PT exchange permutation).
+    """
+    shard = batch_sharding(mesh)
+    repl = replicated(mesh)
+    n = mesh.devices.size
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] >= n:
+            return jax.device_put(x, shard)
+        return jax.device_put(x, repl)
+
+    out = {}
+    for k, v in carry.items():
+        if k in ("pos", "vel", "forces", "potential"):
+            if v.shape[0] % n != 0:
+                raise ValueError(
+                    f"Batch size {v.shape[0]} is not divisible by the mesh "
+                    f"size {n}; pad the batch (carry field {k!r})."
+                )
+            out[k] = jax.device_put(v, shard)
+        elif hasattr(v, "ndim") and v.ndim == 0:
+            out[k] = jax.device_put(v, repl)
+        else:
+            out[k] = jax.device_put(v, repl)
+    return out

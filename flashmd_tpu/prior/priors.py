@@ -1,0 +1,394 @@
+"""Classical prior force-field terms.
+
+Re-design of the reference prior stack (reference: src/flashmd/prior/ —
+base.py:5-60, harmonic.py:23-451, fourier_series.py:16-467,
+repulsion.py:14-220, polynomial.py:13-186, restricted_bending.py:13-238) and
+of its simulation-time specialization pass
+(reference: src/flashmd/simulation/specialize_prior.py:76-207).
+
+Design
+------
+Every reference prior follows the same pattern per step: look up per-term
+parameters from dense type-indexed buffers (``k[type_i, type_j, ...]``),
+compute geometric features from a static index map, evaluate a closed form,
+and scatter-sum per structure. Because atom types and index maps never change
+during a simulation, the type-table gather is a constant — the reference
+exploits this only behind the opt-in ``specialize_priors`` flag; here it is
+the *only* representation: a :class:`Prior` stores the per-term parameter
+arrays directly (gathered once at construction), so the hot path is pure
+elementwise math + one sum. This is both faster and simpler under jit.
+
+A :class:`Prior` evaluates ONE molecule (``pos [A, 3]``); batching is
+``jax.vmap`` at the force-field level. The per-structure scatter of the
+reference (harmonic.py:111-119) is a plain ``sum`` here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.geometry import (
+    compute_angles_cos,
+    compute_angles_raw,
+    compute_distances,
+    compute_torsions,
+)
+
+# ---------------------------------------------------------------------------
+# Feature functions (reference: each prior's compute_features)
+# ---------------------------------------------------------------------------
+
+
+def _torsion_shifted(pos, mapping):
+    """Phase-shifted torsions for distributions peaked at +-pi
+    (reference: ShiftedPeriodicHarmonicImpropers.compute_features,
+    harmonic.py:370-386)."""
+    feats = compute_torsions(pos, mapping)
+    return jnp.where(feats < 0, feats + 2 * math.pi, feats) - math.pi
+
+
+FEATURE_FNS: Dict[str, Callable] = {
+    "distance": compute_distances,
+    "angle_cos": compute_angles_cos,
+    "angle_raw": compute_angles_raw,
+    "torsion": compute_torsions,
+    "torsion_shifted": _torsion_shifted,
+}
+
+
+# ---------------------------------------------------------------------------
+# Energy forms (reference: each prior's static compute)
+# ---------------------------------------------------------------------------
+
+
+def harmonic_compute(x, x0, k, V0=0.0):
+    """k (x - x0)^2 + V0 (reference: harmonic.py:121-123)."""
+    return k * jnp.square(x - x0) + V0
+
+
+def fourier_compute(theta, v_0, k1s, k2s):
+    """v0 + sum_n k1_n sin(n theta) + k2_n cos(n theta)
+    (reference: fourier_series.py:153-192). k1s/k2s: [n_terms, n_degs]."""
+    n_k = k1s.shape[1]
+    n_degs = jnp.arange(1, n_k + 1, dtype=theta.dtype)
+    angles = theta[:, None] * n_degs[None, :]
+    v = k1s * jnp.sin(angles) + k2s * jnp.cos(angles)
+    if v_0.ndim > 1:
+        v_0 = v_0[:, 0]
+    return jnp.sum(v, axis=1) + v_0
+
+
+def repulsion_compute(x, sigma):
+    """(sigma / x)^6 (reference: repulsion.py:118-122)."""
+    rr = (sigma / x) * (sigma / x)
+    return rr * rr * rr
+
+
+def polynomial_compute(x, ks, V0):
+    """V0 + sum_n k_n x^n with incremental powers
+    (reference: polynomial.py:135-154). ks: [n_degs, n_terms]."""
+    v = ks[0] * x
+    x_pow = x
+    for k in ks[1:]:
+        x_pow = x_pow * x
+        v = v + k * x_pow
+    return v + V0
+
+
+def restricted_quartic_compute(x, a, b, c, d, k, v_0):
+    """a cos^4 + b cos^3 + c cos^2 + d cos + k / sin^2 + v0
+    (reference: restricted_bending.py:193-238)."""
+    cos = jnp.cos(x)
+    sin = jnp.sin(x)
+    quart = a * cos**4 + b * cos**3 + c * cos**2 + d * cos
+    return quart + k / (sin**2) + v_0
+
+
+# ---------------------------------------------------------------------------
+# The Prior pytree
+# ---------------------------------------------------------------------------
+
+_KIND_FEATURES = {
+    "harmonic_bonds": "distance",
+    "harmonic_angles": "angle_cos",
+    "harmonic_angles_raw": "angle_raw",
+    "harmonic_impropers": "torsion",
+    "shifted_periodic_harmonic_impropers": "torsion_shifted",
+    "general_bonds": "distance",
+    "general_angles": "angle_cos",
+    "repulsion": "distance",
+    "dihedral": "torsion",
+    "polynomial": "angle_cos",
+    "quartic_angles": "angle_cos",
+    "restricted_quartic": "angle_raw",
+}
+
+
+class Prior(struct.PyTreeNode):
+    """A specialized prior: static index map + per-term parameters.
+
+    Equivalent of one reference ``Static<Name>`` module produced by
+    ``condense_prior_for_simulation`` (specialize_prior.py:112-207), except
+    construction from type-indexed statistics goes directly to this form.
+    """
+
+    index_mapping: jnp.ndarray  # [order, n_terms] int32
+    params: Dict[str, jnp.ndarray]
+    kind: str = struct.field(pytree_node=False, default="harmonic_bonds")
+    name: str = struct.field(pytree_node=False, default="bonds")
+    feature: str = struct.field(pytree_node=False, default="distance")
+
+    @property
+    def order(self) -> int:
+        return self.index_mapping.shape[0]
+
+    @property
+    def n_terms(self) -> int:
+        return self.index_mapping.shape[1]
+
+
+def prior_energy(prior: Prior, pos) -> jnp.ndarray:
+    """Scalar prior energy of one molecule."""
+    feats = FEATURE_FNS[prior.feature](pos, prior.index_mapping)
+    kind = prior.kind
+    p = prior.params
+    if kind in (
+        "harmonic_bonds",
+        "harmonic_angles",
+        "harmonic_angles_raw",
+        "harmonic_impropers",
+        "shifted_periodic_harmonic_impropers",
+        "general_bonds",
+        "general_angles",
+    ):
+        terms = harmonic_compute(
+            feats, p["x0"], p["k"], p.get("V0", 0.0)
+        )
+    elif kind == "repulsion":
+        terms = repulsion_compute(feats, p["sigma"])
+    elif kind == "dihedral":
+        terms = fourier_compute(feats, p["v_0"], p["k1s"], p["k2s"])
+    elif kind in ("polynomial", "quartic_angles"):
+        terms = polynomial_compute(feats, p["ks"], p["v_0"])
+    elif kind == "restricted_quartic":
+        terms = restricted_quartic_compute(
+            feats, p["a"], p["b"], p["c"], p["d"], p["k"], p["v_0"]
+        )
+    else:
+        raise NotImplementedError(f"Unknown prior kind: {kind}")
+    return jnp.sum(terms)
+
+
+# ---------------------------------------------------------------------------
+# Builders from type-indexed statistics (reference __init__ + data2parameters)
+# ---------------------------------------------------------------------------
+
+
+def _dense_tables_from_statistics(statistics, order, field_names):
+    """Build dense [max_type+1]^order numpy tables from a statistics dict
+    (mirrors the buffer construction in reference harmonic.py:59-77 etc.)."""
+    keys = np.asarray(list(statistics.keys()), dtype=np.int64)
+    if keys.ndim == 1:
+        keys = keys[:, None]
+    assert keys.min() >= 0
+    max_type = int(keys.max())
+    sizes = tuple(max_type + 1 for _ in range(order))
+    tables = {f: np.zeros(sizes, dtype=np.float64) for f in field_names}
+    for key, stats in statistics.items():
+        idx = tuple(np.atleast_1d(np.asarray(key, dtype=np.int64)))
+        for f in field_names:
+            tables[f][idx] = np.asarray(stats[f], dtype=np.float64)
+    return tables
+
+
+def gather_type_params(table, atom_types, index_mapping):
+    """table[types[m_0], types[m_1], ...] -> per-term parameter vector.
+
+    The once-per-simulation version of the reference's per-step
+    ``data2parameters`` gather (harmonic.py:79-89)."""
+    table = jnp.asarray(table)
+    idx = tuple(
+        jnp.asarray(atom_types)[index_mapping[i]]
+        for i in range(index_mapping.shape[0])
+    )
+    return table[idx]
+
+
+def harmonic_prior(
+    statistics,
+    atom_types,
+    index_mapping,
+    kind: str = "harmonic_bonds",
+    name: Optional[str] = None,
+    dtype=jnp.float32,
+) -> Prior:
+    """Any Harmonic-family prior from a statistics dict
+    (reference: Harmonic.__init__ harmonic.py:59-77 + data2parameters)."""
+    index_mapping = jnp.asarray(index_mapping, dtype=jnp.int32)
+    order = index_mapping.shape[0]
+    tables = _dense_tables_from_statistics(statistics, order, ["x_0", "k"])
+    params = {
+        "x0": gather_type_params(tables["x_0"], atom_types, index_mapping)
+        .astype(dtype),
+        "k": gather_type_params(tables["k"], atom_types, index_mapping)
+        .astype(dtype),
+    }
+    default_names = {
+        "harmonic_bonds": "bonds",
+        "harmonic_angles": "angles",
+        "harmonic_angles_raw": "angles",
+        "harmonic_impropers": "impropers",
+        "shifted_periodic_harmonic_impropers": "impropers",
+        "general_bonds": "bonds",
+        "general_angles": "angles",
+    }
+    return Prior(
+        index_mapping=index_mapping,
+        params=params,
+        kind=kind,
+        name=name or default_names[kind],
+        feature=_KIND_FEATURES[kind],
+    )
+
+
+def repulsion_prior(
+    statistics, atom_types, index_mapping, name: str = "repulsion",
+    dtype=jnp.float32,
+) -> Prior:
+    """(sigma/x)^6 excluded-volume prior (reference: repulsion.py:47-60)."""
+    index_mapping = jnp.asarray(index_mapping, dtype=jnp.int32)
+    tables = _dense_tables_from_statistics(statistics, 2, ["sigma"])
+    params = {
+        "sigma": gather_type_params(
+            tables["sigma"], atom_types, index_mapping
+        ).astype(dtype)
+    }
+    return Prior(
+        index_mapping=index_mapping,
+        params=params,
+        kind="repulsion",
+        name=name,
+        feature="distance",
+    )
+
+
+def dihedral_prior(
+    statistics,
+    atom_types,
+    index_mapping,
+    n_degs: int = 3,
+    name: str = "dihedrals",
+    dtype=jnp.float32,
+) -> Prior:
+    """Fourier-series dihedral prior
+    (reference: FourierSeries.__init__ fourier_series.py:51-80, Dihedral)."""
+    index_mapping = jnp.asarray(index_mapping, dtype=jnp.int32)
+    order = index_mapping.shape[0]
+    keys = np.asarray(list(statistics.keys()), dtype=np.int64)
+    max_type = int(keys.max())
+    sizes = tuple(max_type + 1 for _ in range(order))
+    k1 = np.zeros((n_degs,) + sizes)
+    k2 = np.zeros((n_degs,) + sizes)
+    v_0 = np.zeros(sizes)
+    for key, stats in statistics.items():
+        idx = tuple(np.asarray(key, dtype=np.int64))
+        for ii in range(n_degs):
+            k1[(ii,) + idx] = np.asarray(stats["k1s"][f"k1_{ii + 1}"])
+            k2[(ii,) + idx] = np.asarray(stats["k2s"][f"k2_{ii + 1}"])
+        v_0[idx] = np.asarray(stats["v_0"])
+    k1s = jnp.stack(
+        [
+            gather_type_params(k1[ii], atom_types, index_mapping)
+            for ii in range(n_degs)
+        ],
+        axis=1,
+    ).astype(dtype)
+    k2s = jnp.stack(
+        [
+            gather_type_params(k2[ii], atom_types, index_mapping)
+            for ii in range(n_degs)
+        ],
+        axis=1,
+    ).astype(dtype)
+    v0 = gather_type_params(v_0, atom_types, index_mapping)[:, None].astype(
+        dtype
+    )
+    return Prior(
+        index_mapping=index_mapping,
+        params={"k1s": k1s, "k2s": k2s, "v_0": v0},
+        kind="dihedral",
+        name=name,
+        feature="torsion",
+    )
+
+
+def polynomial_prior(
+    statistics,
+    atom_types,
+    index_mapping,
+    n_degs: int = 4,
+    kind: str = "polynomial",
+    name: str = "angles",
+    dtype=jnp.float32,
+) -> Prior:
+    """Polynomial / QuarticAngles prior (reference: polynomial.py:44-96)."""
+    index_mapping = jnp.asarray(index_mapping, dtype=jnp.int32)
+    order = index_mapping.shape[0]
+    keys = np.asarray(list(statistics.keys()), dtype=np.int64)
+    max_type = int(keys.max())
+    sizes = tuple(max_type + 1 for _ in range(order))
+    k = np.zeros((n_degs,) + sizes)
+    v_0 = np.zeros(sizes)
+    for key, stats in statistics.items():
+        idx = tuple(np.asarray(key, dtype=np.int64))
+        ks = stats["ks"]
+        for ii in range(n_degs):
+            k[(ii,) + idx] = np.asarray(ks[f"k_{ii + 1}"])
+        v_0[idx] = np.asarray(stats["v_0"])
+    ks = jnp.stack(
+        [
+            gather_type_params(k[ii], atom_types, index_mapping)
+            for ii in range(n_degs)
+        ],
+        axis=0,
+    ).astype(dtype)
+    v0 = gather_type_params(v_0, atom_types, index_mapping).astype(dtype)
+    return Prior(
+        index_mapping=index_mapping,
+        params={"ks": ks, "v_0": v0},
+        kind=kind,
+        name=name,
+        feature=_KIND_FEATURES[kind],
+    )
+
+
+def restricted_quartic_prior(
+    statistics,
+    atom_types,
+    index_mapping,
+    name: str = "angles",
+    dtype=jnp.float32,
+) -> Prior:
+    """Restricted-quartic bending prior
+    (reference: restricted_bending.py:52-93)."""
+    index_mapping = jnp.asarray(index_mapping, dtype=jnp.int32)
+    fields = ["a", "b", "c", "d", "k", "v_0"]
+    tables = _dense_tables_from_statistics(statistics, 3, fields)
+    params = {
+        f: gather_type_params(tables[f], atom_types, index_mapping).astype(
+            dtype
+        )
+        for f in fields
+    }
+    return Prior(
+        index_mapping=index_mapping,
+        params=params,
+        kind="restricted_quartic",
+        name=name,
+        feature="angle_raw",
+    )

@@ -1,0 +1,269 @@
+"""CLI / config parsing for the simulation entry points.
+
+Re-design of the reference CLI (reference: src/flashmd/simulation/cli.py:22-245
+built on jsonargparse) using stdlib argparse with the same surface:
+
+* ``--config <yaml>`` with a ``simulation:`` section whose keys are the
+  ``Simulation.__init__`` kwargs (the reference exposes these via signature
+  introspection; we do the same), plus top-level ``betas``, ``model_file``,
+  ``structure_file``.
+* ``--simulation.<name> <value>`` command-line overrides.
+* ``--batch_size`` trim/duplicate semantics (reference cli.py:131-158).
+* the parsed config is echoed to ``<filename>_config.yaml``
+  (reference cli.py:100-112).
+* ``--disable_optim`` switches the model to the un-optimized path
+  (fp32 MLPs, XLA message passing) for A/B comparisons — the analogue of
+  the reference's env-var zeroing pre-import hook
+  (reference: scripts/nvt_langevin.py:6-17).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import inspect
+import os
+from copy import deepcopy
+from typing import Any, Dict, List, Optional, Tuple
+
+from ..data.system import Configuration
+from ..models.forcefield import ForceField
+from ..utils.io import dump_yaml, load_yaml, logger
+from .base import Simulation
+
+
+def _simulation_kwargs(simulation_class) -> Dict[str, inspect.Parameter]:
+    """All keyword parameters accepted by the simulation class chain."""
+    params: Dict[str, inspect.Parameter] = {}
+    for cls in reversed(simulation_class.__mro__):
+        if cls in (object,):
+            continue
+        try:
+            sig = inspect.signature(cls.__init__)
+        except (TypeError, ValueError):
+            continue
+        for name, p in sig.parameters.items():
+            if name in ("self", "args", "kwargs"):
+                continue
+            params[name] = p
+    return params
+
+
+def _coerce(value: str, default: Any):
+    """Best-effort string -> python coercion for CLI overrides."""
+    if isinstance(value, str):
+        low = value.lower()
+        if low in ("none", "null"):
+            return None
+        if low in ("true", "false"):
+            return low == "true"
+        if isinstance(default, bool):
+            return low in ("1", "true", "yes")
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except (TypeError, ValueError):
+                continue
+    return value
+
+
+def build_parser(
+    simulation_class, description: str = "Simulation command line tool"
+) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description=description, allow_abbrev=False
+    )
+    parser.add_argument(
+        "--config",
+        type=str,
+        default=None,
+        help="Path to a configuration file in yaml format.",
+    )
+    parser.add_argument(
+        "-tm",
+        "--betas",
+        type=float,
+        nargs="+",
+        default=None,
+        help="inverse temperature(s) (1/kBT) at which the simulation runs",
+    )
+    parser.add_argument(
+        "-mf",
+        "--model_file",
+        type=str,
+        default=None,
+        help="path to the model file: a reference model_and_prior.pt "
+        "checkpoint or a native .pkl force field",
+    )
+    parser.add_argument(
+        "-sf",
+        "--structure_file",
+        type=str,
+        default=None,
+        help="path to the starting configurations (.pt or .pkl)",
+    )
+    parser.add_argument(
+        "-p",
+        "--profile",
+        type=str,
+        default="",
+        help="Directory/prefix for jax.profiler trace output.",
+    )
+    parser.add_argument(
+        "-bs",
+        "--batch_size",
+        type=int,
+        default=None,
+        help="Number of molecules to simulate (trim or duplicate the "
+        "structure file to this count).",
+    )
+    parser.add_argument(
+        "--disable_optim",
+        action="store_true",
+        help="Run the un-optimized baseline path (fp32 MLPs, plain XLA "
+        "message passing, no Pallas kernels) for A/B comparison.",
+    )
+    # expose every Simulation.__init__ kwarg as --simulation.<name>
+    for name, p in _simulation_kwargs(simulation_class).items():
+        parser.add_argument(
+            f"--simulation.{name}", dest=f"simulation.{name}", default=None
+        )
+    return parser
+
+
+def apply_batch_size(
+    initial_data_list: List[Configuration], batch_size: Optional[int]
+) -> List[Configuration]:
+    """Trim or duplicate configurations (reference cli.py:131-158)."""
+    if batch_size is None:
+        return initial_data_list
+    native_count = len(initial_data_list)
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if batch_size < native_count:
+        logger.info(f"Using {batch_size} of {native_count} native molecules")
+        return initial_data_list[:batch_size]
+    if batch_size > native_count:
+        full_copies = batch_size // native_count
+        remainder = batch_size % native_count
+        expanded = []
+        for _ in range(full_copies):
+            expanded.extend(deepcopy(d) for d in initial_data_list)
+        expanded.extend(
+            deepcopy(initial_data_list[i]) for i in range(remainder)
+        )
+        logger.info(
+            f"Expanded {native_count} native molecules to {batch_size} "
+            f"({full_copies} full copies + {remainder} extra)"
+        )
+        return expanded
+    logger.info(f"Using all {native_count} native molecules")
+    return initial_data_list
+
+
+def load_model_file(path: str):
+    """Load a force field + configurations source model.
+
+    ``.pt`` files are treated as reference ``model_and_prior.pt`` pickles and
+    converted (see flashmd_tpu.models.checkpoint_io); native ``.pkl`` files
+    contain a pickled conversion result.
+    """
+    from ..models import checkpoint_io
+
+    if path.endswith(".pt"):
+        return checkpoint_io.load_reference_checkpoint(path)
+    return checkpoint_io.load_native_model(path)
+
+
+def load_structure_file(path: str) -> List[Configuration]:
+    from ..models import checkpoint_io
+
+    if path.endswith(".pt"):
+        return checkpoint_io.load_reference_configurations(path)
+    return checkpoint_io.load_native_configurations(path)
+
+
+def parse_simulation_config(
+    simulation_class,
+    description: str = "Simulation command line tool",
+    args=None,
+) -> Tuple[ForceField, List[Configuration], Any, Simulation, str]:
+    """Parse config + CLI and instantiate everything.
+
+    Returns (model, initial_data_list, betas, simulation, profile) —
+    the same tuple as the reference ``parse_simulation_config``
+    (reference: cli.py:22-167).
+    """
+    parser = build_parser(simulation_class, description)
+    ns = parser.parse_args(args=args)
+
+    config: Dict[str, Any] = {"simulation": {}}
+    if ns.config:
+        config.update(load_yaml(ns.config) or {})
+        config.setdefault("simulation", {})
+
+    sim_params = _simulation_kwargs(simulation_class)
+    for name, p in sim_params.items():
+        cli_val = getattr(ns, f"simulation.{name}", None)
+        if cli_val is not None:
+            default = (
+                p.default if p.default is not inspect.Parameter.empty else None
+            )
+            config["simulation"][name] = _coerce(cli_val, default)
+
+    for key in ("betas", "model_file", "structure_file", "batch_size"):
+        val = getattr(ns, key)
+        if val is not None:
+            config[key] = val
+    config["profile"] = ns.profile
+
+    # Reference-compat: drop torch-only keys silently.
+    sim_kwargs = {
+        k: v
+        for k, v in config["simulation"].items()
+        if k in sim_params
+    }
+    unknown = set(config["simulation"]) - set(sim_kwargs)
+    if unknown:
+        logger.warning(f"Ignoring unknown simulation options: {unknown}")
+
+    if ns.disable_optim:
+        sim_kwargs["gptq"] = None
+        os.environ["FLASHMD_TPU_MESSAGE_PASSING"] = "xla"
+
+    # Echo the config (reference cli.py:100-112).
+    out_name = sim_kwargs.get("filename")
+    if out_name is not None:
+        exported = {k: v for k, v in config.items() if k != "config"}
+        output_dir = sim_kwargs.get("output_dir", "./outputs")
+        os.makedirs(output_dir, exist_ok=True)
+        dump_yaml(
+            os.path.join(output_dir, f"{out_name}_config.yaml"), exported
+        )
+
+    model = load_model_file(str(config["model_file"]))
+    initial_data_list = load_structure_file(str(config["structure_file"]))
+    initial_data_list = apply_batch_size(
+        initial_data_list, config.get("batch_size")
+    )
+
+    if ns.disable_optim and isinstance(model, ForceField):
+        model = _disable_optimizations(model)
+
+    simulation = simulation_class(**sim_kwargs)
+    betas = config.get("betas")
+    if isinstance(betas, (list, tuple)) and len(betas) == 1:
+        betas = float(betas[0])
+
+    return model, initial_data_list, betas, simulation, config["profile"]
+
+
+def _disable_optimizations(model: ForceField) -> ForceField:
+    """Baseline A/B path: fp32 MLPs + plain XLA message passing."""
+    if model.schnet_config is None:
+        return model
+    return model.replace(
+        schnet_config=dataclasses.replace(
+            model.schnet_config, precision="fp32", message_passing="xla"
+        )
+    )

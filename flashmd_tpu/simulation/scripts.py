@@ -1,0 +1,98 @@
+"""Console entry points: flashmd-langevin / flashmd-pt-langevin /
+flashmd-nve-verlet.
+
+Re-design of the reference scripts
+(reference: src/flashmd/scripts/nvt_langevin.py:35-183,
+nvt_pt_langevin.py:31-62, nve_verlet.py:26-67): parse config, attach model +
+configurations, optionally wrap the run in a profiler window, simulate, and
+report second-half throughput + memory. The reference's pre-import
+env-zeroing for ``--disable_optim`` (nvt_langevin.py:6-17) is unnecessary
+here — kernel selection is a config value, not an import-time global.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+import jax
+
+from ..utils.io import logger, setup_logging
+from .cli import parse_simulation_config
+from .langevin import LangevinSimulation
+from .parallel_tempering import PTSimulation
+from .velocity_verlet import NVESimulation
+
+
+@contextlib.contextmanager
+def _maybe_profile(profile_dir: str):
+    """jax.profiler trace window — the XLA analogue of the reference's
+    torch.profiler/TensorBoard export (nvt_langevin.py:96-125)."""
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            yield
+    else:
+        yield
+
+
+def _report(simulation):
+    """Throughput + memory report
+    (reference: nvt_langevin.py:129-177)."""
+    metrics = simulation.get_throughput_metrics()
+    if metrics is None:
+        return
+    logger.info("=" * 50)
+    logger.info("Throughput (second half of simulation):")
+    logger.info(
+        f"  steps: {metrics['second_half_steps']} x "
+        f"{metrics['n_sims']} molecules"
+    )
+    logger.info(f"  elapsed: {metrics['second_half_elapsed_time']:.3f} s")
+    logger.info(
+        f"  throughput: {metrics['throughput']:.1f} timestep*mol/s"
+    )
+    logger.info(f"  ms/timestep: {metrics['ms_per_timestep']:.3f}")
+    try:
+        for dev in jax.local_devices():
+            stats = dev.memory_stats()
+            if stats and "peak_bytes_in_use" in stats:
+                logger.info(
+                    f"  peak device memory [{dev}]: "
+                    f"{stats['peak_bytes_in_use'] / 1024 ** 3:.2f} GiB"
+                )
+    except Exception:  # pragma: no cover - backend dependent
+        pass
+    logger.info("=" * 50)
+
+
+def _run(simulation_class, description: str, betas_are_list: bool = False):
+    setup_logging()
+    model, data_list, betas, simulation, profile = parse_simulation_config(
+        simulation_class, description
+    )
+    if betas_are_list and not isinstance(betas, (list, tuple)):
+        betas = [betas]
+    simulation.attach_model_and_configurations(model, data_list, betas)
+    with _maybe_profile(profile):
+        simulation.simulate()
+    _report(simulation)
+    return simulation
+
+
+def nvt_langevin_main():
+    return _run(LangevinSimulation, "NVT Langevin (BAOAB) simulation")
+
+
+def nvt_pt_langevin_main():
+    return _run(
+        PTSimulation,
+        "Parallel-tempering Langevin simulation",
+        betas_are_list=True,
+    )
+
+
+def nve_verlet_main():
+    return _run(NVESimulation, "NVE velocity-Verlet simulation")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    nvt_langevin_main()

@@ -1,0 +1,41 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+Mirrors the reference's pytest plumbing role (reference: conftest.py:4-48)
+but adds what the reference lacks: a multi-device environment so sharding
+paths are exercised on every CI run.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# Some environments ship a sitecustomize that force-prepends an accelerator
+# platform to jax_platforms, overriding the env var — override the config
+# directly so tests always run on the 8-device virtual CPU backend.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--light",
+        action="store_true",
+        default=False,
+        help="skip tests marked heavy",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--light"):
+        skip_heavy = pytest.mark.skip(reason="skipped with --light")
+        for item in items:
+            if "heavy" in item.keywords:
+                item.add_marker(skip_heavy)

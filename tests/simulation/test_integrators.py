@@ -1,0 +1,226 @@
+"""Integrator correctness: energy conservation, thermostat statistics,
+checkpoint/resume, file outputs.
+
+Covers the operational-validation role of the reference
+(src/flashmd/simulation/base.py:679-690, 1317-1326) plus the statistical
+tests the reference lacks.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashmd_tpu.data.system import Configuration
+from flashmd_tpu.models.forcefield import ForceField
+from flashmd_tpu.prior.priors import Prior
+from flashmd_tpu.simulation import (
+    LangevinSimulation,
+    NVESimulation,
+    OverdampedSimulation,
+)
+
+
+def harmonic_ff(n_atoms: int, k: float = 1.0, x0: float = 1.0) -> ForceField:
+    """Pure-prior force field: chain of harmonic bonds (no SchNet)."""
+    mapping = np.stack([np.arange(n_atoms - 1), np.arange(1, n_atoms)])
+    n = mapping.shape[1]
+    prior = Prior(
+        index_mapping=jnp.asarray(mapping, dtype=jnp.int32),
+        params={
+            "x0": jnp.full((n,), x0, jnp.float32),
+            "k": jnp.full((n,), k, jnp.float32),
+        },
+        kind="harmonic_bonds",
+        name="bonds",
+        feature="distance",
+    )
+    return ForceField(schnet_params=None, priors={"bonds": prior})
+
+
+def chain_configs(n_sims: int, n_atoms: int, spacing: float = 1.0):
+    rng = np.random.default_rng(0)
+    cfgs = []
+    for _ in range(n_sims):
+        pos = np.zeros((n_atoms, 3))
+        pos[:, 0] = np.arange(n_atoms) * spacing
+        pos += rng.normal(scale=0.05, size=pos.shape)
+        cfgs.append(
+            Configuration(
+                pos=pos,
+                atom_types=np.zeros(n_atoms, dtype=int),
+                masses=np.ones(n_atoms),
+            )
+        )
+    return cfgs
+
+
+def test_nve_conserves_energy(tmp_path):
+    sim = NVESimulation(
+        dt=1e-3,
+        n_timesteps=200,
+        save_interval=10,
+        save_energies=True,
+        random_seed=1,
+    )
+    sim.attach_model_and_configurations(
+        harmonic_ff(5), chain_configs(4, 5), beta=1.0
+    )
+    sim.simulate()
+    pot = np.concatenate(sim.simulated_potential, axis=0)  # [frames, S]
+    assert np.all(np.isfinite(pot))
+
+
+def test_nve_total_energy_drift_small():
+    sim = NVESimulation(
+        dt=5e-4,
+        n_timesteps=400,
+        save_interval=10,
+        save_energies=True,
+        random_seed=3,
+    )
+    sim.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(2, 6), beta=2.0
+    )
+    sim.simulate()
+    pot = np.concatenate(sim.simulated_potential, axis=0)
+    ke = np.concatenate(sim.simulated_kinetic_energies, axis=0)
+    total = pot + ke
+    drift = np.abs(total - total[0]).max()
+    assert drift < 5e-3 * np.abs(total[0]).max() + 5e-3
+
+
+def test_langevin_equipartition():
+    """Thermostat statistics: <KE> per DOF ~ 1/(2 beta)."""
+    beta = 2.0
+    n_atoms, n_sims = 8, 16
+    sim = LangevinSimulation(
+        friction=5.0,
+        dt=0.02,
+        n_timesteps=3000,
+        save_interval=50,
+        save_energies=True,
+        random_seed=7,
+    )
+    sim.attach_model_and_configurations(
+        harmonic_ff(n_atoms), chain_configs(n_sims, n_atoms), beta=beta
+    )
+    sim.simulate()
+    ke = np.concatenate(sim.simulated_kinetic_energies, axis=0)
+    # discard first half (equilibration)
+    ke_mean = ke[ke.shape[0] // 2 :].mean()
+    dof = 3 * n_atoms
+    expected = dof / (2 * beta)
+    assert abs(ke_mean - expected) / expected < 0.1
+
+
+def test_overdamped_runs_and_moves():
+    sim = OverdampedSimulation(
+        friction=1.0,
+        dt=1e-4,
+        n_timesteps=100,
+        save_interval=10,
+        random_seed=5,
+    )
+    cfgs = chain_configs(3, 4)
+    sim.attach_model_and_configurations(harmonic_ff(4), cfgs, beta=1.0)
+    sim.simulate()
+    coords = np.concatenate(sim.simulated_coords, axis=0)
+    assert coords.shape == (10, 3, 4, 3)
+    assert not np.allclose(coords[0], coords[-1])
+
+
+def test_file_outputs_and_resume(tmp_path):
+    kwargs = dict(
+        friction=1.0,
+        dt=1e-3,
+        save_interval=5,
+        export_interval=25,
+        save_forces=True,
+        save_energies=True,
+        create_checkpoints=True,
+        output_dir=str(tmp_path),
+        random_seed=9,
+    )
+    sim = LangevinSimulation(
+        n_timesteps=50, filename="traj", **kwargs
+    )
+    sim.attach_model_and_configurations(
+        harmonic_ff(4), chain_configs(2, 4), beta=1.0
+    )
+    sim.simulate()
+
+    c0 = np.load(tmp_path / "traj_coords_0000.npy")
+    assert c0.shape == (2, 5, 4, 3)  # (n_sims, frames, atoms, dims)
+    assert (tmp_path / "traj_coords_0001.npy").exists()
+    assert (tmp_path / "traj_forces_0000.npy").exists()
+    assert (tmp_path / "traj_potential_0000.npy").exists()
+    assert (tmp_path / "traj_kineticenergy_0000.npy").exists()
+    assert (tmp_path / "traj_checkpoint_0000.npz").exists()
+
+    # Resume: continue to 100 steps from the latest checkpoint.
+    sim2 = LangevinSimulation(
+        n_timesteps=100,
+        filename="traj",
+        read_checkpoint_file=True,
+        **kwargs,
+    )
+    assert sim2.current_timestep == 2
+    sim2.attach_model_and_configurations(
+        harmonic_ff(4), chain_configs(2, 4), beta=1.0
+    )
+    # resumed positions == checkpointed positions
+    ck = np.load(tmp_path / "traj_checkpoint_0001.npz")
+    np.testing.assert_allclose(
+        np.asarray(sim2.initial_system.pos), ck["pos"], rtol=1e-6
+    )
+    sim2.simulate()
+    assert (tmp_path / "traj_coords_0002.npy").exists()
+    assert (tmp_path / "traj_coords_0003.npy").exists()
+
+
+def test_divergence_guard_raises():
+    sim = NVESimulation(
+        dt=10.0,  # absurd timestep -> blow-up
+        n_timesteps=100,
+        save_interval=10,
+        random_seed=2,
+    )
+    sim.attach_model_and_configurations(
+        harmonic_ff(5, k=50.0), chain_configs(2, 5), beta=1.0
+    )
+    with pytest.raises(RuntimeError, match="blew up"):
+        sim.simulate()
+
+
+def test_save_interval_validation():
+    with pytest.raises(ValueError):
+        LangevinSimulation(n_timesteps=100, save_interval=33)
+
+
+def test_export_requires_filename():
+    with pytest.raises(RuntimeError):
+        LangevinSimulation(
+            n_timesteps=100, save_interval=10, export_interval=50
+        )
+
+
+def test_langevin_deterministic_same_seed():
+    def run():
+        sim = LangevinSimulation(
+            friction=1.0,
+            dt=1e-3,
+            n_timesteps=50,
+            save_interval=10,
+            random_seed=42,
+        )
+        sim.attach_model_and_configurations(
+            harmonic_ff(4), chain_configs(2, 4), beta=1.0
+        )
+        sim.simulate()
+        return np.concatenate(sim.simulated_coords, axis=0)
+
+    a, b = run(), run()
+    np.testing.assert_array_equal(a, b)
