@@ -48,6 +48,10 @@ def main():
         save_interval=chunk,
         random_seed=103838,
         gptq=None if precision == "fp32" else "bf16",
+        neighbor_skin=1.0,
+        neighbor_rebuild_interval=int(
+            os.environ.get("BENCH_NBR_INTERVAL", "10")
+        ),
     )
     sim.attach_model_and_configurations(ff, configs, beta=1.67)
 

@@ -55,6 +55,23 @@ class ForceField(struct.PyTreeNode):
         return float(self.schnet_config.cutoff.cutoff_upper)
 
 
+def validate_quantized(ff: ForceField) -> None:
+    """Raise unless the model's MLPs run on the reduced-precision path.
+
+    Parity check for the reference's ``validate_gptq_w16a16``
+    (reference: gptq.py:446-484), which refuses to run "quantized"
+    simulations with any fp32 MLP left behind.
+    """
+    if ff.schnet_config is None:
+        return
+    if ff.schnet_config.precision != "bf16":
+        raise RuntimeError(
+            "Quantized simulation requested but the SchNet filter/output "
+            f"MLPs run at precision={ff.schnet_config.precision!r}; "
+            "expected 'bf16'."
+        )
+
+
 def energy_components(
     ff: ForceField,
     pos: jnp.ndarray,
@@ -89,16 +106,24 @@ def total_energy(
     return total, comps
 
 
-def build_neighbors(ff: ForceField, pos_batch: jnp.ndarray) -> NeighborMatrix:
+def build_neighbors(
+    ff: ForceField, pos_batch: jnp.ndarray, skin: float = 0.0
+) -> NeighborMatrix:
     """Batched padded radius graph for the SchNet term.
 
-    Rebuilt every force evaluation from current positions (the reference
-    rebuilds via torch_cluster each forward, schnet.py:209-242). Indices
-    carry no gradient, so this sits outside the differentiated region.
+    Rebuilt from current positions (the reference rebuilds via
+    torch_cluster each forward, schnet.py:209-242). Indices carry no
+    gradient, so this sits outside the differentiated region.
+
+    ``skin`` > 0 searches at rcut + skin: the model's cutoff zeroes any
+    pair beyond rcut, so a skin-padded list is EXACT as long as no pair
+    moves from beyond rcut+skin to within rcut between rebuilds — the
+    classic Verlet-list amortization, which the reference (rebuilding the
+    graph every step) pays for in full.
     """
     return batched_radius_neighbor_matrix(
         jax.lax.stop_gradient(pos_batch),
-        rcut=ff.rcut,
+        rcut=ff.rcut + skin,
         capacity=ff.neighbor_capacity,
     )
 
@@ -117,7 +142,11 @@ def compute_energy_forces(
     fp32 total energy; the reduction order is fixed by the program, so
     repeated evaluation is bitwise deterministic.
     """
-    if nbr is None and ff.schnet_params is not None:
+    needs_nbr = (
+        ff.schnet_params is not None
+        and ff.schnet_config.message_passing != "dense"
+    )
+    if nbr is None and needs_nbr:
         nbr = build_neighbors(ff, pos_batch)
 
     def batch_total(p):

@@ -66,6 +66,17 @@ def init_mlp(
     return {"layers": layers}
 
 
+def dot_precision(precision: str):
+    """Matmul precision policy: fp32 mode means TRUE fp32 (the TPU default
+    truncates f32 matmul operands to bf16, which would silently degrade the
+    reference-parity path); bf16 mode uses the native fast path."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if precision == "fp32"
+        else jax.lax.Precision.DEFAULT
+    )
+
+
 def _dense(x, layer, precision: str):
     w = layer["w"]
     if precision == "bf16":
@@ -75,7 +86,7 @@ def _dense(x, layer, precision: str):
             preferred_element_type=jnp.float32,
         )
     else:
-        y = jnp.dot(x, w)
+        y = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
     if "b" in layer:
         y = y + layer["b"].astype(y.dtype)
     return y
@@ -96,3 +107,51 @@ def mlp_apply(
     for layer in layers[:-1]:
         x = act(_dense(x, layer, precision))
     return _dense(x, layers[-1], precision)
+
+
+def init_types_mlp(
+    key,
+    layer_widths: Sequence[int],
+    species=None,
+    dtype=jnp.float32,
+):
+    """Per-species MLP bank (reference TypesMLP, mlp.py:60-121).
+
+    With ``species`` (array of type ids), one MLP per species is created
+    and inputs are routed by atom type; otherwise a single shared MLP.
+    """
+    if species is None:
+        return {"species": None, "mlps": [init_mlp(key, layer_widths,
+                                                   dtype=dtype)]}
+    species = jnp.unique(jnp.asarray(species))
+    keys = jax.random.split(key, species.shape[0])
+    return {
+        "species": species,
+        "mlps": [
+            init_mlp(k, layer_widths, dtype=dtype) for k in keys
+        ],
+    }
+
+
+def types_mlp_apply(
+    params,
+    features,
+    atom_types,
+    activation: str = "tanh",
+    precision: str = "fp32",
+):
+    """Per-species routing: y_i = MLP_{species(i)}(features_i).
+
+    Functional equivalent of reference TypesMLP.forward (mlp.py:111-121);
+    the boolean-mask routing becomes a branch-free select over the species
+    bank (all MLPs evaluated, outputs selected — species counts are tiny).
+    """
+    if params["species"] is None:
+        return mlp_apply(
+            params["mlps"][0], features, activation, precision
+        )
+    out = jnp.zeros(features.shape[:-1] + (1,), features.dtype)
+    for s, mlp in zip(list(params["species"]), params["mlps"]):
+        y = mlp_apply(mlp, features, activation, precision)
+        out = jnp.where((atom_types == s)[..., None], y, out)
+    return out

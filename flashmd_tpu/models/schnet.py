@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from ..ops.neighborlist import NeighborMatrix
 from .cutoff import CosineCutoff, _Cutoff
-from .mlp import init_mlp, mlp_apply, xavier_uniform
+from .mlp import dot_precision, init_mlp, mlp_apply, xavier_uniform
 from .radial_basis import (
     GaussianBasisConfig,
     gaussian_basis_apply,
@@ -189,7 +189,7 @@ def cfconv_apply(block_params, config: SchNetConfig, x, d, rbf, nbr):
     -> lin2.
     """
     h = jnp.dot(
-        x, block_params["lin1_w"], 
+        x, block_params["lin1_w"], precision=dot_precision(config.precision)
     )  # [A, F]
     w = mlp_apply(
         block_params["filter"],
@@ -201,7 +201,11 @@ def cfconv_apply(block_params, config: SchNetConfig, x, d, rbf, nbr):
     msg = w * c[..., None] * h[nbr.idx]  # [A, K, F]
     agg = jnp.sum(msg, axis=1)  # [A, F] — deterministic reduction
     return (
-        jnp.dot(agg, block_params["lin2_w"])
+        jnp.dot(
+            agg,
+            block_params["lin2_w"],
+            precision=dot_precision(config.precision),
+        )
         + block_params["lin2_b"]
     )
 
@@ -238,13 +242,47 @@ def schnet_atom_energies(
     """
     x = params["embedding"][atom_types]  # [A, H]
 
+    if config.message_passing == "dense":
+        # Dense all-pairs Pallas kernel: no neighbor list at all (exact at
+        # CG sizes; see ops/pallas/cfconv_dense.py).
+        from ..ops.pallas.cfconv_dense import dense_cfconv_message
+
+        rbf_oc = (params["rbf"]["offset"], params["rbf"]["coeff"])
+        prec = dot_precision(config.precision)
+        for bp in params["interactions"]:
+            h = jnp.dot(x, bp["lin1_w"], precision=prec)
+            agg = dense_cfconv_message(
+                pos,
+                h,
+                bp["filter"]["layers"][0]["w"],
+                bp["filter"]["layers"][0]["b"],
+                bp["filter"]["layers"][1]["w"],
+                rbf_oc,
+                float(config.cutoff.cutoff_upper),
+                8,
+                config.precision,
+            )
+            y = jnp.dot(agg, bp["lin2_w"], precision=prec) + bp["lin2_b"]
+            x = x + (
+                jnp.dot(jnp.tanh(y), bp["lin_w"], precision=prec)
+                + bp["lin_b"]
+            )
+        e = mlp_apply(
+            params["output"],
+            x,
+            activation=config.activation,
+            precision=config.precision,
+        )
+        return e[:, 0]
+
     if config.message_passing == "pallas":
         from ..ops.pallas.cfconv import fused_cfconv_message
 
         maskf = nbr.mask.astype(jnp.float32)
         rbf_oc = (params["rbf"]["offset"], params["rbf"]["coeff"])
+        prec = dot_precision(config.precision)
         for bp in params["interactions"]:
-            h = jnp.dot(x, bp["lin1_w"])
+            h = jnp.dot(x, bp["lin1_w"], precision=prec)
             agg = fused_cfconv_message(
                 pos,
                 nbr.idx,
@@ -255,11 +293,14 @@ def schnet_atom_energies(
                 bp["filter"]["layers"][1]["w"],
                 rbf_oc,
                 float(config.cutoff.cutoff_upper),
-                16,
+                8,
                 config.precision,
             )
-            y = jnp.dot(agg, bp["lin2_w"]) + bp["lin2_b"]
-            x = x + jnp.dot(jnp.tanh(y), bp["lin_w"]) + bp["lin_b"]
+            y = jnp.dot(agg, bp["lin2_w"], precision=prec) + bp["lin2_b"]
+            x = x + (
+                jnp.dot(jnp.tanh(y), bp["lin_w"], precision=prec)
+                + bp["lin_b"]
+            )
         e = mlp_apply(
             params["output"],
             x,

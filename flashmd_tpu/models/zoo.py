@@ -168,8 +168,10 @@ def cgschnet_1enh_like(
     params = init_schnet(jax.random.PRNGKey(seed), config)
 
     if neighbor_capacity is None:
+        # Size the static capacity at rcut + 1.0 so Verlet-skin search
+        # (simulation.base neighbor_skin) never overflows.
         nm = radius_neighbor_matrix(
-            jnp.asarray(base.pos, jnp.float32), cutoff_upper,
+            jnp.asarray(base.pos, jnp.float32), cutoff_upper + 1.0,
             capacity=n_atoms,
         )
         neighbor_capacity = min(

@@ -17,29 +17,31 @@ Design
 One grid step processes a tile of ``TA`` destination atoms of one molecule.
 Everything lives in VMEM: positions ``[A, 3]`` and features ``[A, F]`` of
 the whole (coarse-grained) molecule are VMEM-resident, so neighbor *gather*
-and the backward's *scatter* are expressed as one-hot matmuls on the MXU —
-full throughput, bitwise deterministic, no atomics, no HBM gather traffic.
+and the backward's *scatter* are one-hot matmuls on the MXU — full
+throughput, bitwise deterministic, no atomics, no HBM gather traffic. With
+``J`` the one-hot of neighbor indices and ``I`` the one-hot of destination
+rows (both ``[TA*K, A]``), the displacement matrix is a single matmul
+``rel = (J - I) @ pos`` and the position gradient is its exact transpose
+``grad_pos += (J - I)^T @ gp`` — gather and scatter share one operator.
 The ``[TA*K, F]`` filter/message intermediates never leave VMEM; HBM sees
-only ``pos``, ``idx``, ``x`` in and ``out`` (and in the backward,
-``grad_pos`` / ``grad_x``) — the reference needed three separate kernels
-plus materialized filter outputs to approximate this.
+only ``pos``, ``idx``, ``x`` in and the outputs out (the reference needed
+three separate kernels plus materialized filter outputs).
 
 The backward recomputes the forward intermediates in VMEM ("remat in
-kernel") instead of storing [A, K, F] residuals, then forms:
-  grad_x   = scatter(one-hot^T @ (g * W * cutoff))
-  grad_pos = chain rule through RBF + both cutoff factors, scattered the
-             same way (and the destination-side term added via a row
-             one-hot).
-Weight gradients are NOT produced (inference-time MD: parameters are
-frozen, reference base.py:355-358 sets requires_grad=False); their
-cotangents are zero.
+kernel") instead of storing [A, K, F] residuals. Weight gradients are NOT
+produced (inference-time MD: parameters are frozen, reference
+base.py:355-358 sets requires_grad=False); their cotangents are zero.
+
+Mosaic notes: all intermediates are kept >= 2-D (per-edge scalars are
+``[TA*K, 1]`` columns); the only reshapes are leading-dim collapses/expands,
+which the vector-layout inference supports.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+import os
 
 import jax
 import jax.numpy as jnp
@@ -47,13 +49,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Interpreter mode for CPU-based numerics tests / debugging
+# (set FLASHMD_PALLAS_INTERPRET=1, e.g. in the CPU test suite).
+INTERPRET = os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1"
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
 def _cutoff_and_deriv(d, cutoff_upper):
-    """Cosine cutoff 0.5(cos(d pi/ru) + 1) (d < ru) and its derivative."""
+    """Cosine cutoff 0.5(cos(d pi/ru) + 1) (d < ru) and its derivative.
+
+    d: [TA*K, 1].
+    """
     arg = d * (math.pi / cutoff_upper)
     inside = (d < cutoff_upper).astype(d.dtype)
     c = 0.5 * (jnp.cos(arg) + 1.0) * inside
@@ -61,106 +70,96 @@ def _cutoff_and_deriv(d, cutoff_upper):
     return c, dc
 
 
-def _tile_geometry(pos, idx, maskf, offset, coeff, cutoff_upper, ta, k, a_pad):
-    """Shared forward geometry for one atom tile.
+def _tile_geometry(pos, idx, maskf, offset, coeff, cutoff_upper, ta, k,
+                   a_pad, t):
+    """Shared forward geometry for one atom tile (all 2-D, edge-major).
 
-    Returns (oh [TA*K, A_pad] one-hot, d [TA*K], cut [TA*K] (cutoff*mask),
-    rbf [TA*K, R], e [TA*K, R] Gaussian w/o cutoff, rel [TA*K, 3],
-    dcut [TA*K] d(cutoff)/dd * mask).
+    Returns (dmat [TA*K, A_pad] = one-hot(j) - one-hot(i), d [TA*K, 1],
+    cut [TA*K, 1] (cutoff * mask), rbf [TA*K, R], e [TA*K, R] Gaussian
+    without cutoff, rel [TA*K, 3], dcut [TA*K, 1], oh_j [TA*K, A_pad]).
     """
-    t = pl.program_id(1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ta, k, a_pad), 2)
-    oh = jnp.where(lane == idx[:, :, None], 1.0, 0.0).reshape(
-        ta * k, a_pad
-    )  # f32 one-hot
-    pos_j = jnp.dot(oh, pos, preferred_element_type=jnp.float32)  # [TA*K,3]
-    pos_i = jax.lax.dynamic_slice(pos, (t * ta, 0), (ta, 3))
-    rel = pos_j.reshape(ta, k, 3) - pos_i[:, None, :]
-    rel = rel.reshape(ta * k, 3)
-    d2 = jnp.sum(rel * rel, axis=-1)
+    # Mask folded into the neighbor one-hot: a masked (padding) edge gets an
+    # all-zero gather row, which zeroes its message (xj = 0) AND every one
+    # of its gradient contributions (gw, grbf, s_cut, gd all vanish because
+    # each carries a factor of xj or of the zero scatter row) — no [TA*K, 1]
+    # mask column needed (Mosaic cannot lower that reshape).
+    valid = maskf[:, :, None] > 0.5
+    oh_j = jnp.where(
+        (lane == idx[:, :, None]) & valid, 1.0, 0.0
+    ).reshape(ta * k, a_pad)
+    row = t * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, k, 1), 0)
+    oh_i = jnp.where(lane == row, 1.0, 0.0).reshape(ta * k, a_pad)
+    dmat = oh_j - oh_i  # rel = dmat @ pos; grad_pos = dmat.T @ gp
+
+    rel = jnp.dot(
+        dmat, pos, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TA*K, 3]
+    d2 = jnp.sum(rel * rel, axis=-1, keepdims=True)  # [TA*K, 1]
     d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    cc, dcc = _cutoff_and_deriv(d, cutoff_upper)
-    m = maskf.reshape(ta * k)
-    cut = cc * m
-    dcut = dcc * m
-    e = jnp.exp(coeff * jnp.square(d[:, None] - offset[None, :]))
-    rbf = e * cut[:, None]
-    return oh, d, cut, rbf, e, rel, dcut
+    cut, dcut = _cutoff_and_deriv(d, cutoff_upper)
+    e = jnp.exp(coeff * jnp.square(d - offset))  # [TA*K, R]
+    rbf = e * cut
+    return dmat, d, cut, rbf, e, rel, dcut, oh_j
 
 
 def _filter_mlp(rbf, w0, b0, w1, compute_dtype):
     """W = tanh(rbf @ w0 + b0) @ w1, bf16/f32 on MXU with f32 accum."""
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     t0 = (
         jnp.dot(
             rbf.astype(compute_dtype),
             w0.astype(compute_dtype),
             preferred_element_type=jnp.float32,
+            precision=prec,
         )
-        + b0[None, :]
+        + b0
     )
     a0 = jnp.tanh(t0)
     w = jnp.dot(
         a0.astype(compute_dtype),
         w1.astype(compute_dtype),
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     return a0, w
 
 
 def _fwd_kernel(
-    pos_ref,
-    idx_ref,
-    mask_ref,
-    x_ref,
-    w0_ref,
-    b0_ref,
-    w1_ref,
-    offset_ref,
-    coeff_ref,
-    out_ref,
-    *,
-    ta: int,
-    k: int,
-    a_pad: int,
-    cutoff_upper: float,
-    compute_dtype,
+    pos_ref, idx_ref, mask_ref, x_ref, w0_ref, b0_ref, w1_ref,
+    offset_ref, coeff_ref, out_ref,
+    *, ta, k, a_pad, cutoff_upper, compute_dtype,
 ):
+    t = pl.program_id(1)
     pos = pos_ref[0]
     idx = idx_ref[0]
     maskf = mask_ref[0]
     x = x_ref[0]
-    offset = offset_ref[0]
-    coeff = coeff_ref[0]
+    offset = offset_ref[:]  # [1, R]
+    coeff = coeff_ref[0, 0]
 
-    oh, d, cut, rbf, e, rel, dcut = _tile_geometry(
-        pos, idx, maskf, offset, coeff, cutoff_upper, ta, k, a_pad
+    dmat, d, cut, rbf, e, rel, dcut, oh_j = _tile_geometry(
+        pos, idx, maskf, offset, coeff, cutoff_upper, ta, k, a_pad, t
     )
-    _, w = _filter_mlp(rbf, w0_ref[:], b0_ref[0], w1_ref[:], compute_dtype)
-    xj = jnp.dot(oh, x, preferred_element_type=jnp.float32)  # [TA*K, F]
-    msg = w * cut[:, None] * xj
+    _, w = _filter_mlp(rbf, w0_ref[:], b0_ref[:], w1_ref[:], compute_dtype)
+    xj = jnp.dot(
+        oh_j, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [TA*K, F]
+    msg = w * cut * xj
     f = x.shape[-1]
     out_ref[0] = jnp.sum(msg.reshape(ta, k, f), axis=1)
 
 
 def _bwd_kernel(
-    pos_ref,
-    idx_ref,
-    mask_ref,
-    x_ref,
-    w0_ref,
-    b0_ref,
-    w1_ref,
-    offset_ref,
-    coeff_ref,
-    g_ref,
-    gpos_ref,
-    gx_ref,
-    *,
-    ta: int,
-    k: int,
-    a_pad: int,
-    cutoff_upper: float,
-    compute_dtype,
+    pos_ref, idx_ref, mask_ref, x_ref, w0_ref, b0_ref, w1_ref,
+    offset_ref, coeff_ref, g_ref, gpos_ref, gx_ref,
+    *, ta, k, a_pad, cutoff_upper, compute_dtype,
 ):
     t = pl.program_id(1)
 
@@ -173,58 +172,66 @@ def _bwd_kernel(
     idx = idx_ref[0]
     maskf = mask_ref[0]
     x = x_ref[0]
-    offset = offset_ref[0]
-    coeff = coeff_ref[0]
+    offset = offset_ref[:]
+    coeff = coeff_ref[0, 0]
     g = g_ref[0]  # [TA, F]
     f = x.shape[-1]
 
     # Recompute forward intermediates in VMEM.
-    oh, d, cut, rbf, e, rel, dcut = _tile_geometry(
-        pos, idx, maskf, offset, coeff, cutoff_upper, ta, k, a_pad
+    dmat, d, cut, rbf, e, rel, dcut, oh_j = _tile_geometry(
+        pos, idx, maskf, offset, coeff, cutoff_upper, ta, k, a_pad, t
     )
-    a0, w = _filter_mlp(rbf, w0_ref[:], b0_ref[0], w1_ref[:], compute_dtype)
-    xj = jnp.dot(oh, x, preferred_element_type=jnp.float32)
+    a0, w = _filter_mlp(rbf, w0_ref[:], b0_ref[:], w1_ref[:], compute_dtype)
+    xj = jnp.dot(
+        oh_j, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     g_rep = jnp.broadcast_to(g[:, None, :], (ta, k, f)).reshape(ta * k, f)
 
     # grad wrt gathered features: scatter = one-hot^T matmul.
-    gxj = g_rep * w * cut[:, None]  # [TA*K, F]
-    gx_ref[0] += jnp.dot(oh.T, gxj, preferred_element_type=jnp.float32)
+    gxj = g_rep * w * cut  # [TA*K, F]
+    gx_ref[0] += jnp.dot(
+        oh_j.T, gxj, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     # grad wrt filter output W.
-    gw = g_rep * xj * cut[:, None]
+    gw = g_rep * xj * cut
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     ga0 = jnp.dot(
         gw.astype(compute_dtype),
         w1_ref[:].astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
+        precision=prec,
     )
     gt0 = ga0 * (1.0 - a0 * a0)
     grbf = jnp.dot(
         gt0.astype(compute_dtype),
         w0_ref[:].astype(compute_dtype).T,
         preferred_element_type=jnp.float32,
+        precision=prec,
     )  # [TA*K, R]
 
-    # grad wrt the two cutoff factors and the distance.
-    s_cut = jnp.sum(g_rep * w * xj, axis=-1)  # message cutoff factor
-    gcut = s_cut + jnp.sum(grbf * e, axis=-1)  # + basis cutoff factor
-    ge = grbf * cut[:, None]
+    # grad wrt the two cutoff factors and the distance (all [TA*K, 1]).
+    s_cut = jnp.sum(g_rep * w * xj, axis=-1, keepdims=True)
+    gcut = s_cut + jnp.sum(grbf * e, axis=-1, keepdims=True)
+    ge = grbf * cut
     gd = jnp.sum(
-        ge * e * (2.0 * coeff) * (d[:, None] - offset[None, :]), axis=-1
+        ge * e * (2.0 * coeff) * (d - offset), axis=-1, keepdims=True
     )
     gd = gd + gcut * dcut
 
-    # grad wrt positions: u = rel / d; dE/dpos_j = gd * u, dE/dpos_i = -gd*u.
-    u = rel / d[:, None]
-    gp_j = gd[:, None] * u  # [TA*K, 3]
-    gpos_ref[0] += jnp.dot(oh.T, gp_j, preferred_element_type=jnp.float32)
-    # destination-side term via a row one-hot for this tile
-    rows = jax.lax.broadcasted_iota(jnp.int32, (ta, a_pad), 1)
-    tile_rows = t * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, 1), 0)
-    oh_i = jnp.where(rows == tile_rows, 1.0, 0.0)  # [TA, A_pad]
-    gp_i = -jnp.sum(gp_j.reshape(ta, k, 3), axis=1)  # [TA, 3]
+    # grad wrt positions: exact transpose of rel = dmat @ pos.
+    u = rel / d
+    gp = gd * u  # [TA*K, 3]
     gpos_ref[0] += jnp.dot(
-        oh_i.T, gp_i, preferred_element_type=jnp.float32
+        dmat.T, gp, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -237,9 +244,7 @@ def _pad_atoms(arr, a_pad, axis=0, fill=0):
     return jnp.pad(arr, widths, constant_values=fill)
 
 
-@functools.partial(
-    jax.custom_vjp, nondiff_argnums=(8, 9, 10)
-)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_cfconv_message(
     pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff,
     cutoff_upper: float, tile_atoms: int, precision: str,
@@ -260,9 +265,9 @@ def fused_cfconv_message(
     return out
 
 
-def _specs_and_grid(a, a_pad, k, f, r, ta):
+def _specs_and_grid(a_pad, k, f, r, ta):
     n_tiles = a_pad // ta
-    grid = (1, n_tiles)  # leading unit dim keeps program_id(1) = tile index
+    grid = (1, n_tiles)  # unit leading dim: program_id(1) = tile index
     in_specs = [
         pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -276,7 +281,7 @@ def _specs_and_grid(a, a_pad, k, f, r, ta):
         pl.BlockSpec((1, f), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((f, f), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, r), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,), lambda s, t: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda s, t: (0, 0), memory_space=pltpu.VMEM),
     ]
     return grid, in_specs
 
@@ -287,20 +292,16 @@ def _prep(pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff, ta):
     f = x.shape[-1]
     r = offset.shape[0]
     a_pad = _round_up(a, ta)
-    pos_p = _pad_atoms(pos.astype(jnp.float32), a_pad)
-    idx_p = _pad_atoms(idx, a_pad)
-    mask_p = _pad_atoms(maskf.astype(jnp.float32), a_pad)
-    x_p = _pad_atoms(x.astype(jnp.float32), a_pad)
     args = (
-        pos_p[None],
-        idx_p[None],
-        mask_p[None],
-        x_p[None],
+        _pad_atoms(pos.astype(jnp.float32), a_pad)[None],
+        _pad_atoms(idx, a_pad)[None],
+        _pad_atoms(maskf.astype(jnp.float32), a_pad)[None],
+        _pad_atoms(x.astype(jnp.float32), a_pad)[None],
         w0.astype(jnp.float32),
         b0.astype(jnp.float32)[None, :],
         w1.astype(jnp.float32),
         offset.astype(jnp.float32)[None, :],
-        coeff.astype(jnp.float32).reshape(1),
+        coeff.astype(jnp.float32).reshape(1, 1),
     )
     return args, a, a_pad, kcap, f, r
 
@@ -313,15 +314,11 @@ def _fused_cfconv_fwd(
     args, a, a_pad, k, f, r = _prep(
         pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff, ta
     )
-    grid, in_specs = _specs_and_grid(a, a_pad, k, f, r, ta)
+    grid, in_specs = _specs_and_grid(a_pad, k, f, r, ta)
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
-        _fwd_kernel,
-        ta=ta,
-        k=k,
-        a_pad=a_pad,
-        cutoff_upper=cutoff_upper,
-        compute_dtype=compute_dtype,
+        _fwd_kernel, ta=ta, k=k, a_pad=a_pad,
+        cutoff_upper=cutoff_upper, compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,
@@ -331,20 +328,19 @@ def _fused_cfconv_fwd(
             (1, ta, f), lambda s, t: (0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
+        interpret=INTERPRET,
     )(*args)
     out = out[0, :a]
     return out, (pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff)
 
 
-def _fused_cfconv_bwd(
-    cutoff_upper, tile_atoms, precision, residuals, g
-):
+def _fused_cfconv_bwd(cutoff_upper, tile_atoms, precision, residuals, g):
     pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff = residuals
     ta = tile_atoms
     args, a, a_pad, k, f, r = _prep(
         pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff, ta
     )
-    grid, in_specs = _specs_and_grid(a, a_pad, k, f, r, ta)
+    grid, in_specs = _specs_and_grid(a_pad, k, f, r, ta)
     in_specs = in_specs + [
         pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
                      memory_space=pltpu.VMEM),
@@ -352,12 +348,8 @@ def _fused_cfconv_bwd(
     g_p = _pad_atoms(g.astype(jnp.float32), a_pad)[None]
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
-        _bwd_kernel,
-        ta=ta,
-        k=k,
-        a_pad=a_pad,
-        cutoff_upper=cutoff_upper,
-        compute_dtype=compute_dtype,
+        _bwd_kernel, ta=ta, k=k, a_pad=a_pad,
+        cutoff_upper=cutoff_upper, compute_dtype=compute_dtype,
     )
     gpos, gx = pl.pallas_call(
         kernel,
@@ -373,6 +365,7 @@ def _fused_cfconv_bwd(
             jax.ShapeDtypeStruct((1, a_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
         ),
+        interpret=INTERPRET,
     )(*args, g_p)
     gpos = gpos[0, :a].astype(pos.dtype)
     gx = gx[0, :a].astype(x.dtype)

@@ -108,6 +108,8 @@ class Simulation:
         profile_end_step: Optional[int] = None,
         gptq: Optional[str] = "w16a16",
         neighbor_capacity: Optional[int] = None,
+        neighbor_skin: float = 1.0,
+        neighbor_rebuild_interval: int = 1,
         mesh=None,
     ):
         self.model: Optional[ForceField] = None
@@ -169,6 +171,13 @@ class Simulation:
         self.profile_start_step = profile_start_step
         self.profile_end_step = profile_end_step
         self.neighbor_capacity = neighbor_capacity
+        # Verlet-list amortization: neighbor search radius is
+        # rcut + neighbor_skin; the list is rebuilt every
+        # neighbor_rebuild_interval steps (1 = every step, always exact;
+        # the padded list stays exact for any interval small enough that
+        # no pair crosses the skin between rebuilds).
+        self.neighbor_skin = neighbor_skin
+        self.neighbor_rebuild_interval = neighbor_rebuild_interval
         # Optional jax.sharding.Mesh: shard the batch/replica axis across
         # chips (see flashmd_tpu.parallel.mesh).
         self.mesh = mesh
@@ -354,25 +363,68 @@ class Simulation:
     # Integrator interface — subclasses implement these
     # ------------------------------------------------------------------
 
+    def _uses_neighbor_list(self) -> bool:
+        return (
+            self.model is not None
+            and self.model.schnet_params is not None
+            and self.model.schnet_config.message_passing != "dense"
+        )
+
+    def _carry_nbr(self, carry: Dict):
+        if "nbr_idx" not in carry:
+            return None
+        from ..ops.neighborlist import NeighborMatrix
+
+        return NeighborMatrix(
+            idx=carry["nbr_idx"],
+            mask=carry["nbr_mask"],
+            n_max=jnp.zeros((carry["nbr_idx"].shape[0],), jnp.int32),
+        )
+
+    def _rebuild_neighbors(self, carry: Dict) -> Dict:
+        nbr = build_neighbors(
+            self.model, carry["pos"], skin=self.neighbor_skin
+        )
+        # Track the true (pre-truncation) max neighbor count so capacity
+        # overflow is detected at export time, never silently.
+        n_max = jnp.max(nbr.n_max).astype(jnp.int32)
+        prev = carry.get("nbr_n_max", jnp.asarray(0, jnp.int32))
+        return {
+            **carry,
+            "nbr_idx": nbr.idx,
+            "nbr_mask": nbr.mask,
+            "nbr_n_max": jnp.maximum(prev, n_max),
+        }
+
+    def _forces(self, carry: Dict, pos):
+        """Potential + forces at ``pos`` using the carry's neighbor list."""
+        return compute_energy_forces(
+            self.model,
+            pos,
+            self.initial_system.atom_types,
+            self._carry_nbr(carry),
+        )
+
     def _init_carry(self, system: System, key) -> Dict:
         """Initial scan carry. Subclasses may add fields."""
-        potential, forces, _ = compute_energy_forces(
-            self.model, system.pos, system.atom_types
-        )
-        return {
+        carry = {
             "pos": system.pos,
             "vel": (
                 system.velocities
                 if system.velocities is not None
                 else jnp.zeros_like(system.pos)
             ),
-            "forces": forces,
-            "potential": potential,
             "key": key,
             "t": jnp.asarray(self.current_timestep * self.export_interval
                              if self.export_interval else 0,
                              dtype=jnp.int32),
         }
+        if self._uses_neighbor_list():
+            carry = self._rebuild_neighbors(carry)
+        potential, forces, _ = self._forces(carry, system.pos)
+        carry["forces"] = forces
+        carry["potential"] = potential
+        return carry
 
     def _timestep(self, carry: Dict) -> Dict:
         """One integrator step (pure function of the carry)."""
@@ -387,6 +439,18 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def _step_with_hooks(self, carry: Dict) -> Dict:
+        if (
+            self._uses_neighbor_list()
+            and self.neighbor_rebuild_interval > 1
+        ):
+            carry = jax.lax.cond(
+                carry["t"] % self.neighbor_rebuild_interval == 0,
+                self._rebuild_neighbors,
+                lambda c: c,
+                carry,
+            )
+        elif self._uses_neighbor_list():
+            carry = self._rebuild_neighbors(carry)
         carry = self._timestep(carry)
         carry = {**carry, "t": carry["t"] + 1}
         if self._has_device_subroutine():
@@ -406,6 +470,8 @@ class Simulation:
             carry["pos"].reshape(self.n_sims, -1), axis=1
         )
         out["pos_spread"] = spread
+        if "nbr_n_max" in carry:
+            out["nbr_n_max"] = carry["nbr_n_max"]
         if self.save_forces:
             out["forces"] = carry["forces"]
         if self.save_energies:
@@ -605,6 +671,16 @@ class Simulation:
             raise RuntimeError(
                 f"Simulation of trajectory blew up at #timestep={t}"
             )
+        if "nbr_n_max" in frames_np and self.model is not None:
+            n_max = int(frames_np["nbr_n_max"].max())
+            cap = self.model.neighbor_capacity
+            if n_max > cap:
+                warnings.warn(
+                    f"Neighbor capacity overflow: an atom had {n_max} "
+                    f"neighbors within rcut+skin but capacity is {cap}; "
+                    "the farthest were dropped. Increase neighbor_capacity.",
+                    RuntimeWarning,
+                )
 
     @staticmethod
     def _swap_and_export(arr: np.ndarray) -> np.ndarray:

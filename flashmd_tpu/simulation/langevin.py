@@ -94,9 +94,7 @@ class LangevinSimulation(Simulation):
         # A (second position half-step)
         x = x + v * (dt * 0.5)
         # Force evaluation (the expensive part)
-        potential, forces, _ = compute_energy_forces(
-            self.model, x, self.initial_system.atom_types
-        )
+        potential, forces, _ = self._forces(carry, x)
         # B (second velocity half-step)
         v = v + 0.5 * dt * forces / masses
 
@@ -176,9 +174,7 @@ class OverdampedSimulation(Simulation):
             + carry["forces"] * self._dtau
             + jnp.sqrt(2 * self._dtau) * noise
         )
-        potential, forces, _ = compute_energy_forces(
-            self.model, x, self.initial_system.atom_types
-        )
+        potential, forces, _ = self._forces(carry, x)
         return {
             **carry,
             "pos": x,

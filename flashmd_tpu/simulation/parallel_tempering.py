@@ -200,6 +200,14 @@ class PTSimulation(LangevinSimulation):
             "forces": carry["forces"][perm],
             "potential": carry["potential"][perm],
             "key": key,
+            **(
+                {
+                    "nbr_idx": carry["nbr_idx"][perm],
+                    "nbr_mask": carry["nbr_mask"][perm],
+                }
+                if "nbr_idx" in carry
+                else {}
+            ),
             "exchange_parity": 1 - parity,
             "n_exchange_approved": carry["n_exchange_approved"]
             + jnp.sum(approved).astype(jnp.int32),

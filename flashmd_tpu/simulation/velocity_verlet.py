@@ -54,9 +54,7 @@ class NVESimulation(Simulation):
         m = self.initial_system.masses[..., None]
         v_half = carry["vel"] + 0.5 * dt * carry["forces"] / m
         x = carry["pos"] + dt * v_half
-        potential, forces, _ = compute_energy_forces(
-            self.model, x, self.initial_system.atom_types
-        )
+        potential, forces, _ = self._forces(carry, x)
         v = v_half + 0.5 * dt * forces / m
         return {
             **carry,

@@ -21,6 +21,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Pallas kernels run in interpreter mode on the CPU test backend.
+os.environ.setdefault("FLASHMD_PALLAS_INTERPRET", "1")
+
 import pytest  # noqa: E402
 
 
