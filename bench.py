@@ -32,7 +32,7 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "600"))
     chunk = int(os.environ.get("BENCH_CHUNK", "100"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
-    message_passing = os.environ.get("BENCH_MP", "xla")
+    message_passing = os.environ.get("BENCH_MP", "cheb")
 
     ff, configs = cgschnet_1enh_like(
         n_atoms=n_atoms,

@@ -144,7 +144,7 @@ def compute_energy_forces(
     """
     needs_nbr = (
         ff.schnet_params is not None
-        and ff.schnet_config.message_passing != "dense"
+        and ff.schnet_config.message_passing not in ("dense", "cheb")
     )
     if nbr is None and needs_nbr:
         nbr = build_neighbors(ff, pos_batch)

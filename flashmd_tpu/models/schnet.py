@@ -72,9 +72,15 @@ class SchNetConfig:
     aggr: str = "add"
     # Compute precision of the filter/output MLPs ("fp32" or "bf16").
     precision: str = "fp32"
-    # Message-passing implementation: "xla" (gather + masked sum) or
-    # "pallas" (fused kernel; see flashmd_tpu.ops.pallas).
+    # Message-passing implementation:
+    #   "xla"    — gather + masked sum over a padded neighbor matrix;
+    #   "pallas" — fused Pallas kernel over the neighbor matrix;
+    #   "dense"  — dense all-pairs Pallas kernel (no neighbor list);
+    #   "cheb"   — Chebyshev-tabulated matmul-only CFConv (no neighbor
+    #              list, no per-edge MLP; see flashmd_tpu.models.cheb).
     message_passing: str = "xla"
+    # Chebyshev expansion order for message_passing="cheb".
+    cheb_order: int = 128
     # Rematerialization: "block" wraps each interaction block (including its
     # distance/RBF computation) in jax.checkpoint so the backward pass
     # recomputes the [A, K, F] intermediates instead of storing them —
@@ -241,6 +247,43 @@ def schnet_atom_energies(
     graph.
     """
     x = params["embedding"][atom_types]  # [A, H]
+
+    if config.message_passing == "cheb":
+        # Matmul-only Chebyshev CFConv (see models/cheb.py). Requires a
+        # zero-lower cosine conv cutoff (same restriction as the
+        # reference's fused-RBF path, schnet.py:418-424).
+        from .cheb import cheb_cfconv_apply, fit_chebyshev_filter
+
+        if not isinstance(config.cutoff, CosineCutoff) or (
+            config.cutoff.cutoff_lower != 0
+        ):
+            raise NotImplementedError(
+                "message_passing='cheb' requires CosineCutoff with "
+                "cutoff_lower == 0."
+            )
+        rcut = float(config.cutoff.cutoff_upper)
+        prec = dot_precision(config.precision)
+        for bp in params["interactions"]:
+            # Loop-invariant in the MD scan: XLA hoists the fit.
+            c, c2, w0 = fit_chebyshev_filter(
+                bp, params["rbf"], config, order=config.cheb_order
+            )
+            h = jnp.dot(x, bp["lin1_w"], precision=prec)
+            agg = cheb_cfconv_apply(
+                c, c2, w0, pos, h, rcut, config.precision
+            )
+            y = jnp.dot(agg, bp["lin2_w"], precision=prec) + bp["lin2_b"]
+            x = x + (
+                jnp.dot(jnp.tanh(y), bp["lin_w"], precision=prec)
+                + bp["lin_b"]
+            )
+        e = mlp_apply(
+            params["output"],
+            x,
+            activation=config.activation,
+            precision=config.precision,
+        )
+        return e[:, 0]
 
     if config.message_passing == "dense":
         # Dense all-pairs Pallas kernel: no neighbor list at all (exact at

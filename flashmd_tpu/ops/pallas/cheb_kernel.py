@@ -1,0 +1,312 @@
+"""Pallas kernels for the Chebyshev matmul-only CFConv.
+
+The XLA expression of the Chebyshev recurrence (models/cheb.py) streams the
+[S, A, A] recurrence state through HBM on every order — ~50 MB per order
+per direction at the headline batch, which dominates the step time. These
+kernels keep the ENTIRE recurrence in VMEM: one molecule's pair matrix
+([A_pad, A_pad] bf16, ~150 KB at CG sizes) lives on-chip while a
+`fori_loop` sweeps the orders, issuing one [A_pad, A_pad] @ [A_pad, F] MXU
+matmul per order and accumulating the output in VMEM. HBM sees only pos,
+x, the coefficient tables, and the [A, F] result.
+
+Forward:
+    out = sum_m c_m ⊙ (Ttil_m(Z) @ x) - W'(0) ⊙ x
+Backward (see models/cheb.py for the derivation):
+    gx  = sum_m Ttil_m @ (c_m ⊙ g) - W'(0) ⊙ g        (Ttil symmetric)
+    gd  = sum_m T_m ⊙ ((c2_m ⊙ g) @ x^T)  masked to d < rcut, diag zeroed
+    gpos = pos ⊙ rowsum(Ws) - Ws @ pos,   Ws = (gd + gd^T) / d
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_atoms(arr, a_pad, fill=0):
+    pad = a_pad - arr.shape[0]
+    if pad == 0:
+        return arr
+    widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+    return jnp.pad(arr, widths, constant_values=fill)
+
+
+def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
+    """z [A_pad, A_pad] with padding columns/rows pushed beyond the cutoff.
+
+    Distances via the Gram identity d^2_ij = |p_i|^2 + |p_j|^2 - 2 p_i.p_j
+    on centered coordinates (one exact-precision MXU matmul; avoids jnp
+    fancy indexing, which lowers to unsupported gathers in Mosaic).
+    """
+    pc = pos - jnp.mean(pos, axis=0, keepdims=True)
+    gram = jnp.dot(
+        pc, pc.T, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    sq = jnp.sum(pc * pc, axis=1, keepdims=True)  # [A_pad, 1]
+    d2 = jnp.maximum(sq + sq.T - 2.0 * gram, 0.0)
+    d = jnp.sqrt(d2 + 1e-12)
+    # Padding atoms sit at pos 0; force their pairs beyond the cutoff so
+    # (1-z)^2 kills them exactly (real-real pairs are unaffected).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 1)
+    is_pad = (rows >= a_real) | (cols >= a_real)
+    d = jnp.where(is_pad, 2.0 * rcut, d)
+    z = jnp.minimum(2.0 * d / rcut - 1.0, 1.0)
+    return d, z, is_pad
+
+
+def _chain_seeds(z, u2, compute_dtype):
+    """Seeds for 4 independent stride-4 Chebyshev chains.
+
+    T_{m+4} = 2 T_4(z) T_m - T_{m-4}: splitting by m mod 4 yields four
+    independent recurrences (chains m=c, c+4, c+8, ... for c in 0..3),
+    quadrupling the instruction-level parallelism available to the
+    scheduler compared to the serial three-term recurrence.
+
+    Returns (tt[0..7] = Ttil_0..Ttil_7, q = 2 T_4(z)).
+    """
+    z2 = z * z
+    t = [None] * 8
+    tp = [None] * 8  # plain T_m
+    tp[0] = jnp.ones_like(z)
+    tp[1] = z
+    for m in range(2, 8):
+        tp[m] = 2.0 * z * tp[m - 1] - tp[m - 2]
+    q = 2.0 * (8.0 * z2 * z2 - 8.0 * z2 + 1.0)  # 2 T_4
+    for m in range(8):
+        t[m] = (u2 * tp[m]).astype(compute_dtype)
+    return t, q.astype(compute_dtype)
+
+
+def _plain_seeds(z, compute_dtype):
+    tp = [None] * 8
+    tp[0] = jnp.ones_like(z)
+    tp[1] = z
+    for m in range(2, 8):
+        tp[m] = 2.0 * z * tp[m - 1] - tp[m - 2]
+    return [p.astype(compute_dtype) for p in tp]
+
+
+def _cheb_fwd_kernel(
+    pos_ref, x_ref, c_ref, w0_ref, out_ref,
+    *, order, rcut, a_pad, a_real, compute_dtype,
+):
+    assert order % 4 == 0 and order >= 8
+    pos = pos_ref[0]
+    x = x_ref[0]
+    _, z, _ = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
+    u2 = jnp.square(1.0 - z)
+    xc = x.astype(compute_dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    def matvec(t_m, m):
+        p = jnp.dot(
+            t_m, xc, preferred_element_type=jnp.float32, precision=prec
+        )
+        return c_ref[pl.ds(m, 1), :] * p
+
+    tt, q = _chain_seeds(z, u2, compute_dtype)
+    out = matvec(tt[0], 0)
+    for m in range(1, 8):
+        out = out + matvec(tt[m], m)
+
+    def body(i, carry):
+        # carry: 4 chains x (prev, cur) + accumulator; orders 4i+4..4i+7
+        t0p, t0c, t1p, t1c, t2p, t2c, t3p, t3c, out = carry
+        n0 = q * t0c - t0p
+        n1 = q * t1c - t1p
+        n2 = q * t2c - t2p
+        n3 = q * t3c - t3p
+        m = 4 * i + 8
+        out = (
+            out
+            + matvec(n0, m)
+            + matvec(n1, m + 1)
+            + matvec(n2, m + 2)
+            + matvec(n3, m + 3)
+        )
+        return (t0c, n0, t1c, n1, t2c, n2, t3c, n3, out)
+
+    carry = (tt[0], tt[4], tt[1], tt[5], tt[2], tt[6], tt[3], tt[7], out)
+    carry = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)
+    out = carry[-1]
+    out_ref[0] = out - w0_ref[:] * x
+
+
+def _cheb_bwd_kernel(
+    pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, gpos_ref, gx_ref,
+    *, order, rcut, a_pad, a_real, compute_dtype,
+):
+    pos = pos_ref[0]
+    x = x_ref[0]
+    g = g_ref[0]
+    d, z, is_pad = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
+    u2 = jnp.square(1.0 - z)
+    xc = x.astype(compute_dtype)
+    gc = g.astype(compute_dtype)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    assert order % 4 == 0 and order >= 8
+
+    def gx_term(t_m, m):
+        rhs = (c_ref[pl.ds(m, 1), :] * gc).astype(compute_dtype)
+        return jnp.dot(
+            t_m, rhs, preferred_element_type=jnp.float32, precision=prec
+        )
+
+    def gd_term(p_m, m):
+        u_m = jnp.dot(
+            (c2_ref[pl.ds(m, 1), :] * gc).astype(compute_dtype),
+            xc.T,
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        return p_m.astype(jnp.float32) * u_m
+
+    tt, q = _chain_seeds(z, u2, compute_dtype)
+    pp = _plain_seeds(z, compute_dtype)
+    gx = gx_term(tt[0], 0)
+    gd = gd_term(pp[0], 0)
+    for m in range(1, 8):
+        gx = gx + gx_term(tt[m], m)
+        gd = gd + gd_term(pp[m], m)
+
+    def body(i, carry):
+        (t0p, t0c, t1p, t1c, t2p, t2c, t3p, t3c,
+         p0p, p0c, p1p, p1c, p2p, p2c, p3p, p3c, gx, gd) = carry
+        n0 = q * t0c - t0p
+        n1 = q * t1c - t1p
+        n2 = q * t2c - t2p
+        n3 = q * t3c - t3p
+        q0 = q * p0c - p0p
+        q1 = q * p1c - p1p
+        q2 = q * p2c - p2p
+        q3 = q * p3c - p3p
+        m = 4 * i + 8
+        gx = gx + gx_term(n0, m) + gx_term(n1, m + 1) \
+                + gx_term(n2, m + 2) + gx_term(n3, m + 3)
+        gd = gd + gd_term(q0, m) + gd_term(q1, m + 1) \
+                + gd_term(q2, m + 2) + gd_term(q3, m + 3)
+        return (t0c, n0, t1c, n1, t2c, n2, t3c, n3,
+                p0c, q0, p1c, q1, p2c, q2, p3c, q3, gx, gd)
+
+    carry = (tt[0], tt[4], tt[1], tt[5], tt[2], tt[6], tt[3], tt[7],
+             pp[0], pp[4], pp[1], pp[5], pp[2], pp[6], pp[3], pp[7],
+             gx, gd)
+    carry = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)
+    gx, gd = carry[-2], carry[-1]
+    gx = gx - w0_ref[:] * g
+    gx_ref[0] = gx
+
+    # Mask outside the cutoff and the diagonal, then the gpos identity.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 1)
+    keep = (d < rcut) & (rows != cols) & ~is_pad
+    gd = jnp.where(keep, gd, 0.0)
+    ws = (gd + gd.T) / d
+    rowsum = jnp.sum(ws, axis=1, keepdims=True)  # [A_pad, 1]
+    gpos_ref[0] = pos * rowsum - jnp.dot(
+        ws, pos, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
+    """Forward kernel wrapper: (c [M,F], w0 [F], pos [A,3], x [A,F])."""
+    a = pos.shape[0]
+    f = x.shape[-1]
+    order = c.shape[0]
+    a_pad = _round_up(a, 8)
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(
+        _cheb_fwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
+        a_real=a, compute_dtype=compute_dtype,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, a_pad, 3), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((order, f), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda s: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
+    )(
+        _pad_atoms(pos.astype(jnp.float32), a_pad)[None],
+        _pad_atoms(x.astype(jnp.float32), a_pad)[None],
+        c.astype(jnp.float32),
+        w0.astype(jnp.float32)[None, :],
+    )
+    return out[0, :a]
+
+
+def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision):
+    """Backward kernel wrapper -> (gpos [A,3], gx [A,F])."""
+    a = pos.shape[0]
+    f = x.shape[-1]
+    order = c.shape[0]
+    a_pad = _round_up(a, 8)
+    compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+    kernel = functools.partial(
+        _cheb_bwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
+        a_real=a, compute_dtype=compute_dtype,
+    )
+    gpos, gx = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, a_pad, 3), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((order, f), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((order, f), lambda s: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, a_pad, 3), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, a_pad, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
+        ),
+    )(
+        _pad_atoms(pos.astype(jnp.float32), a_pad)[None],
+        _pad_atoms(x.astype(jnp.float32), a_pad)[None],
+        c.astype(jnp.float32),
+        c2.astype(jnp.float32),
+        w0.astype(jnp.float32)[None, :],
+        _pad_atoms(g.astype(jnp.float32), a_pad)[None],
+    )
+    return gpos[0, :a], gx[0, :a]

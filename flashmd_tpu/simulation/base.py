@@ -367,7 +367,7 @@ class Simulation:
         return (
             self.model is not None
             and self.model.schnet_params is not None
-            and self.model.schnet_config.message_passing != "dense"
+            and self.model.schnet_config.message_passing not in ("dense", "cheb")
         )
 
     def _carry_nbr(self, carry: Dict):

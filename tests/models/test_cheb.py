@@ -1,0 +1,165 @@
+"""Chebyshev matmul-only CFConv: fit accuracy, custom VJP, model parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashmd_tpu.models.cheb import (
+    cheb_cfconv_apply,
+    chebyshev_nodes,
+    fit_chebyshev_filter,
+)
+from flashmd_tpu.models.cutoff import CosineCutoff
+from flashmd_tpu.models.mlp import mlp_apply
+from flashmd_tpu.models.radial_basis import gaussian_basis_apply
+from flashmd_tpu.models.schnet import SchNetConfig, init_schnet, schnet_energy
+from flashmd_tpu.ops.neighborlist import radius_neighbor_matrix
+
+A, RCUT, M = 41, 4.0, 128
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(13)
+    cfg = SchNetConfig(
+        hidden_channels=64,
+        embedding_size=6,
+        num_filters=64,
+        num_interactions=2,
+        num_rbf=50,
+        cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(32,),
+        cheb_order=M,
+    )
+    params = init_schnet(jax.random.PRNGKey(5), cfg)
+    pos = jnp.asarray(rng.uniform(0, 5, (A, 3)), jnp.float32)
+    types = jnp.asarray(rng.integers(0, 6, A), jnp.int32)
+    nbr = radius_neighbor_matrix(pos, RCUT, capacity=A)
+    return cfg, params, pos, types, nbr
+
+
+def test_fit_matches_exact_filter(setup):
+    """W'(d) fit error below fp32 resolution on a dense distance grid."""
+    cfg, params, pos, types, nbr = setup
+    bp = params["interactions"][0]
+    c, c2, w0 = fit_chebyshev_filter(bp, params["rbf"], cfg, order=M)
+
+    d = jnp.linspace(0.05, RCUT * 0.999, 1000)
+    rbf = gaussian_basis_apply(params["rbf"], cfg.rbf_config, d)
+    exact = mlp_apply(bp["filter"], rbf) * cfg.cutoff(d)[:, None]
+
+    z = 2.0 * d / RCUT - 1.0
+    # evaluate the fitted series
+    t_prev = jnp.square(1 - z)
+    t_cur = t_prev * z
+    approx = c[0][None, :] * t_prev[:, None] + c[1][None, :] * t_cur[:, None]
+    for m in range(2, M):
+        t_next = 2 * z * t_cur - t_prev
+        approx = approx + c[m][None, :] * t_next[:, None]
+        t_prev, t_cur = t_cur, t_next
+
+    scale = np.abs(np.asarray(exact)).max()
+    err = np.abs(np.asarray(approx - exact)).max()
+    assert err / scale < 3e-5
+
+
+def test_fit_zero_beyond_cutoff(setup):
+    """Pairs beyond rcut contribute exactly zero (the (1-z)^2 factor)."""
+    cfg, params, pos, types, nbr = setup
+    bp = params["interactions"][0]
+    c, c2, w0 = fit_chebyshev_filter(bp, params["rbf"], cfg, order=M)
+    # place one atom far outside everyone's cutoff
+    pos_far = pos.at[0].set(jnp.asarray([1e3, 1e3, 1e3]))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(A, 64)), jnp.float32
+    )
+    out = cheb_cfconv_apply(c, c2, w0, pos_far, x, RCUT, "fp32")
+    # far pairs contribute exactly 0; only the ~1e-6 self-pair epsilon
+    # (d_ii = sqrt(1e-12)) remains.
+    assert np.abs(np.asarray(out[0])).max() < 1e-4
+
+
+def test_model_energy_matches_xla(setup):
+    cfg, params, pos, types, nbr = setup
+    cfg_c = dataclasses.replace(cfg, message_passing="cheb")
+    e_x = float(schnet_energy(params, cfg, pos, types, nbr))
+    e_c = float(schnet_energy(params, cfg_c, pos, types, None))
+    np.testing.assert_allclose(e_c, e_x, rtol=1e-5)
+
+
+def test_model_forces_match_xla(setup):
+    cfg, params, pos, types, nbr = setup
+    cfg_c = dataclasses.replace(cfg, message_passing="cheb")
+    g_x = jax.grad(lambda p: schnet_energy(params, cfg, p, types, nbr))(pos)
+    g_c = jax.grad(lambda p: schnet_energy(params, cfg_c, p, types, None))(
+        pos
+    )
+    gx, gc = np.asarray(g_x), np.asarray(g_c)
+    assert np.abs(gx - gc).max() / np.abs(gx).max() < 5e-4
+
+
+def test_custom_vjp_matches_finite_differences(setup):
+    cfg, params, pos, types, nbr = setup
+    bp = params["interactions"][0]
+    c, c2, w0 = fit_chebyshev_filter(bp, params["rbf"], cfg, order=M)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(A, 64)), jnp.float32
+    )
+
+    def loss(p, xx):
+        return jnp.sum(
+            jnp.sin(cheb_cfconv_apply(c, c2, w0, p, xx, RCUT, "fp32"))
+        )
+
+    gp, gx = jax.grad(loss, argnums=(0, 1))(pos, x)
+    eps = 3e-3
+    rng = np.random.default_rng(2)
+    for _ in range(3):
+        i, dd = rng.integers(0, A), rng.integers(0, 3)
+        dp = jnp.zeros_like(pos).at[i, dd].set(eps)
+        fd = (float(loss(pos + dp, x)) - float(loss(pos - dp, x))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(float(gp[i, dd]), fd, rtol=2e-2,
+                                   atol=2e-3)
+    for _ in range(3):
+        i, ff = rng.integers(0, A), rng.integers(0, 64)
+        dx = jnp.zeros_like(x).at[i, ff].set(eps)
+        fd = (float(loss(pos, x + dx)) - float(loss(pos, x - dx))) / (
+            2 * eps
+        )
+        np.testing.assert_allclose(float(gx[i, ff]), fd, rtol=2e-2,
+                                   atol=2e-3)
+
+
+def test_vmap_batch(setup):
+    cfg, params, pos, types, nbr = setup
+    cfg_c = dataclasses.replace(cfg, message_passing="cheb")
+    pos_b = jnp.stack([pos, pos + 0.02])
+    e = jax.vmap(lambda p: schnet_energy(params, cfg_c, p, types, None))(
+        pos_b
+    )
+    assert e.shape == (2,)
+    assert np.all(np.isfinite(np.asarray(e)))
+
+
+def test_requires_cosine_cutoff(setup):
+    from flashmd_tpu.models.cutoff import IdentityCutoff
+
+    cfg, params, pos, types, nbr = setup
+    cfg_bad = SchNetConfig(
+        hidden_channels=64,
+        embedding_size=6,
+        num_filters=64,
+        num_interactions=2,
+        num_rbf=50,
+        cutoff=IdentityCutoff(0.0, RCUT),
+        rbf_cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(32,),
+        message_passing="cheb",
+    )
+    with pytest.raises(NotImplementedError):
+        schnet_energy(params, cfg_bad, pos, types, None)
