@@ -43,17 +43,18 @@ def _pad_atoms(arr, a_pad, fill=0):
 def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
     """z [A_pad, A_pad] with padding columns/rows pushed beyond the cutoff.
 
-    Distances via the Gram identity d^2_ij = |p_i|^2 + |p_j|^2 - 2 p_i.p_j
-    on centered coordinates (one exact-precision MXU matmul; avoids jnp
-    fancy indexing, which lowers to unsupported gathers in Mosaic).
+    Distances via exact fp32 VPU differences per coordinate (column/row
+    broadcasts of slices — avoids both jnp fancy indexing, which lowers to
+    unsupported gathers, and an MXU Gram matmul, whose operand truncation
+    would corrupt z and be amplified by the high-order polynomials).
     """
-    pc = pos - jnp.mean(pos, axis=0, keepdims=True)
-    gram = jnp.dot(
-        pc, pc.T, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    sq = jnp.sum(pc * pc, axis=1, keepdims=True)  # [A_pad, 1]
-    d2 = jnp.maximum(sq + sq.T - 2.0 * gram, 0.0)
+    p0 = pos[:, 0:1]  # [A_pad, 1]
+    p1 = pos[:, 1:2]
+    p2 = pos[:, 2:3]
+    rel0 = p0.T - p0  # [A_pad, A_pad], rel0[i, j] = x_j - x_i
+    rel1 = p1.T - p1
+    rel2 = p2.T - p2
+    d2 = rel0 * rel0 + rel1 * rel1 + rel2 * rel2
     d = jnp.sqrt(d2 + 1e-12)
     # Padding atoms sit at pos 0; force their pairs beyond the cutoff so
     # (1-z)^2 kills them exactly (real-real pairs are unaffected).
@@ -83,18 +84,21 @@ def _chain_seeds(z, u2, compute_dtype):
     for m in range(2, 8):
         tp[m] = 2.0 * z * tp[m - 1] - tp[m - 2]
     q = 2.0 * (8.0 * z2 * z2 - 8.0 * z2 + 1.0)  # 2 T_4
+    # The recurrence itself stays in fp32 (stable, VPU-cheap); values are
+    # cast to the compute dtype only at the matmul inputs.
+    del compute_dtype
     for m in range(8):
-        t[m] = (u2 * tp[m]).astype(compute_dtype)
-    return t, q.astype(compute_dtype)
+        t[m] = u2 * tp[m]
+    return t, q
 
 
-def _plain_seeds(z, compute_dtype):
+def _plain_seeds(z):
     tp = [None] * 8
     tp[0] = jnp.ones_like(z)
     tp[1] = z
     for m in range(2, 8):
         tp[m] = 2.0 * z * tp[m - 1] - tp[m - 2]
-    return [p.astype(compute_dtype) for p in tp]
+    return tp
 
 
 def _cheb_fwd_kernel(
@@ -115,35 +119,42 @@ def _cheb_fwd_kernel(
 
     def matvec(t_m, m):
         p = jnp.dot(
-            t_m, xc, preferred_element_type=jnp.float32, precision=prec
+            t_m.astype(compute_dtype), xc,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         return c_ref[pl.ds(m, 1), :] * p
 
     tt, q = _chain_seeds(z, u2, compute_dtype)
-    out = matvec(tt[0], 0)
-    for m in range(1, 8):
-        out = out + matvec(tt[m], m)
+
+    def quad_matvec(t4, m):
+        """One [4*A_pad, A_pad] @ [A_pad, F] matmul for orders m..m+3."""
+        stacked = jnp.concatenate(
+            [t.astype(compute_dtype) for t in t4], axis=0
+        )
+        p = jnp.dot(
+            stacked, xc, preferred_element_type=jnp.float32, precision=prec
+        )
+        acc = c_ref[pl.ds(m, 1), :] * p[0:a_pad]
+        for cch in range(1, 4):
+            acc = acc + (
+                c_ref[pl.ds(m + cch, 1), :]
+                * p[cch * a_pad:(cch + 1) * a_pad]
+            )
+        return acc
+
+    out = quad_matvec(tt[0:4], 0) + quad_matvec(tt[4:8], 4)
 
     def body(i, carry):
-        # carry: 4 chains x (prev, cur) + accumulator; orders 4i+4..4i+7
-        t0p, t0c, t1p, t1c, t2p, t2c, t3p, t3c, out = carry
-        n0 = q * t0c - t0p
-        n1 = q * t1c - t1p
-        n2 = q * t2c - t2p
-        n3 = q * t3c - t3p
-        m = 4 * i + 8
-        out = (
-            out
-            + matvec(n0, m)
-            + matvec(n1, m + 1)
-            + matvec(n2, m + 2)
-            + matvec(n3, m + 3)
-        )
-        return (t0c, n0, t1c, n1, t2c, n2, t3c, n3, out)
+        p0, p1, p2, p3, c0, c1, c2_, c3, out = carry
+        n0 = q * c0 - p0
+        n1 = q * c1 - p1
+        n2 = q * c2_ - p2
+        n3 = q * c3 - p3
+        out = out + quad_matvec([n0, n1, n2, n3], 4 * i + 8)
+        return (c0, c1, c2_, c3, n0, n1, n2, n3, out)
 
-    carry = (tt[0], tt[4], tt[1], tt[5], tt[2], tt[6], tt[3], tt[7], out)
-    carry = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)
-    out = carry[-1]
+    carry = (*tt[0:4], *tt[4:8], out)
+    out = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)[-1]
     out_ref[0] = out - w0_ref[:] * x
 
 
@@ -169,7 +180,8 @@ def _cheb_bwd_kernel(
     def gx_term(t_m, m):
         rhs = (c_ref[pl.ds(m, 1), :] * gc).astype(compute_dtype)
         return jnp.dot(
-            t_m, rhs, preferred_element_type=jnp.float32, precision=prec
+            t_m.astype(compute_dtype), rhs,
+            preferred_element_type=jnp.float32, precision=prec,
         )
 
     def gd_term(p_m, m):
@@ -179,38 +191,61 @@ def _cheb_bwd_kernel(
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-        return p_m.astype(jnp.float32) * u_m
+        return p_m * u_m
 
     tt, q = _chain_seeds(z, u2, compute_dtype)
-    pp = _plain_seeds(z, compute_dtype)
-    gx = gx_term(tt[0], 0)
-    gd = gd_term(pp[0], 0)
-    for m in range(1, 8):
-        gx = gx + gx_term(tt[m], m)
-        gd = gd + gd_term(pp[m], m)
+    pp = _plain_seeds(z)
+
+    def quad_gx(t4, m):
+        # sum_c T_c @ r_c == [T_0 .. T_3] (cols) @ [r_0; ..; r_3] (rows):
+        # the 4-chain contribution is a single [A, 4A] @ [4A, F] matmul.
+        stacked = jnp.concatenate(
+            [t.astype(compute_dtype) for t in t4], axis=1
+        )  # [A_pad, 4*A_pad]
+        rhs = jnp.concatenate(
+            [
+                (c_ref[pl.ds(m + cch, 1), :] * gc).astype(compute_dtype)
+                for cch in range(4)
+            ],
+            axis=0,
+        )  # [4*A_pad? no: 4 rows of [A_pad, F]] -> [4*A_pad, F]
+        return jnp.dot(
+            stacked, rhs, preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    def quad_gd(p4, m):
+        rhs = jnp.concatenate(
+            [
+                (c2_ref[pl.ds(m + cch, 1), :] * gc).astype(compute_dtype)
+                for cch in range(4)
+            ],
+            axis=0,
+        )  # [4*A_pad, F]
+        u = jnp.dot(
+            rhs, xc.T, preferred_element_type=jnp.float32, precision=prec
+        )  # [4*A_pad, A_pad]
+        acc = p4[0] * u[0:a_pad]
+        for cch in range(1, 4):
+            acc = acc + p4[cch] * u[cch * a_pad:(cch + 1) * a_pad]
+        return acc
+
+    gx = quad_gx(tt[0:4], 0) + quad_gx(tt[4:8], 4)
+    gd = quad_gd(pp[0:4], 0) + quad_gd(pp[4:8], 4)
 
     def body(i, carry):
-        (t0p, t0c, t1p, t1c, t2p, t2c, t3p, t3c,
-         p0p, p0c, p1p, p1c, p2p, p2c, p3p, p3c, gx, gd) = carry
-        n0 = q * t0c - t0p
-        n1 = q * t1c - t1p
-        n2 = q * t2c - t2p
-        n3 = q * t3c - t3p
-        q0 = q * p0c - p0p
-        q1 = q * p1c - p1p
-        q2 = q * p2c - p2p
-        q3 = q * p3c - p3p
+        (tp0, tp1, tp2, tp3, tc0, tc1, tc2, tc3,
+         qp0, qp1, qp2, qp3, qc0, qc1, qc2, qc3, gx, gd) = carry
+        tn = [q * tc - tp for tc, tp in
+              zip((tc0, tc1, tc2, tc3), (tp0, tp1, tp2, tp3))]
+        pn = [q * qc - qp for qc, qp in
+              zip((qc0, qc1, qc2, qc3), (qp0, qp1, qp2, qp3))]
         m = 4 * i + 8
-        gx = gx + gx_term(n0, m) + gx_term(n1, m + 1) \
-                + gx_term(n2, m + 2) + gx_term(n3, m + 3)
-        gd = gd + gd_term(q0, m) + gd_term(q1, m + 1) \
-                + gd_term(q2, m + 2) + gd_term(q3, m + 3)
-        return (t0c, n0, t1c, n1, t2c, n2, t3c, n3,
-                p0c, q0, p1c, q1, p2c, q2, p3c, q3, gx, gd)
+        gx = gx + quad_gx(tn, m)
+        gd = gd + quad_gd(pn, m)
+        return (tc0, tc1, tc2, tc3, *tn, qc0, qc1, qc2, qc3, *pn, gx, gd)
 
-    carry = (tt[0], tt[4], tt[1], tt[5], tt[2], tt[6], tt[3], tt[7],
-             pp[0], pp[4], pp[1], pp[5], pp[2], pp[6], pp[3], pp[7],
-             gx, gd)
+    carry = (*tt[0:4], *tt[4:8], *pp[0:4], *pp[4:8], gx, gd)
     carry = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)
     gx, gd = carry[-2], carry[-1]
     gx = gx - w0_ref[:] * g

@@ -107,6 +107,10 @@ class Simulation:
         profile_start_step: Optional[int] = None,
         profile_end_step: Optional[int] = None,
         gptq: Optional[str] = "w16a16",
+        print_shape: bool = False,
+        print_shape_steps: int = 3,
+        dump_neighbor_list: bool = False,
+        dump_neighbor_list_last_n: Optional[int] = None,
         neighbor_capacity: Optional[int] = None,
         neighbor_skin: float = 1.0,
         neighbor_rebuild_interval: int = 1,
@@ -170,6 +174,15 @@ class Simulation:
         self.save_subroutine = save_subroutine
         self.profile_start_step = profile_start_step
         self.profile_end_step = profile_end_step
+        # Shape introspection (reference base.py:163-169 print_shape): under
+        # XLA all shapes are static, so one abstract evaluation of the
+        # rollout replaces the reference's per-step logging.
+        self.print_shape = print_shape
+        self.print_shape_steps = print_shape_steps
+        # Neighbor-list dumping (reference base.py:170-177, 871-887): saves
+        # the padded neighbor matrices per frame.
+        self.dump_neighbor_list = dump_neighbor_list
+        self.dump_neighbor_list_last_n = dump_neighbor_list_last_n
         self.neighbor_capacity = neighbor_capacity
         # Verlet-list amortization: neighbor search radius is
         # rcut + neighbor_skin; the list is rebuilt every
@@ -472,6 +485,9 @@ class Simulation:
         out["pos_spread"] = spread
         if "nbr_n_max" in carry:
             out["nbr_n_max"] = carry["nbr_n_max"]
+        if self.dump_neighbor_list and "nbr_idx" in carry:
+            out["nbr_idx"] = carry["nbr_idx"]
+            out["nbr_mask"] = carry["nbr_mask"]
         if self.save_forces:
             out["forces"] = carry["forces"]
         if self.save_energies:
@@ -575,6 +591,8 @@ class Simulation:
         tail_steps = remaining % self.export_interval
 
         rollout = self._build_rollout(save_size)
+        if self.print_shape and self.filename is not None:
+            self._write_shape_log(carry, save_size)
         pbar = tqdm(
             total=self.n_timesteps,
             initial=t_init,
@@ -739,6 +757,18 @@ class Simulation:
                         if k.startswith("force_component/")
                     },
                 )
+            if self.dump_neighbor_list and "nbr_idx" in frames_np:
+                idx = frames_np["nbr_idx"]
+                mask = frames_np["nbr_mask"]
+                last_n = self.dump_neighbor_list_last_n
+                if last_n is not None:
+                    idx = idx[-last_n:]
+                    mask = mask[-last_n:]
+                np.savez(
+                    f"{self.filename}_neighbor_list_{key}.npz",
+                    idx=idx,
+                    mask=mask,
+                )
             self._write_extra_frames(frames_np, key)
             if self.create_checkpoints:
                 self._write_checkpoint(carry, key, index=self._npy_file_index + 1)
@@ -751,6 +781,36 @@ class Simulation:
 
     def _accumulate_extra(self, frames_np: Dict):
         """Subclass hook for extra in-memory accumulation (e.g. KE)."""
+
+    def _write_shape_log(self, carry, save_size: int):
+        """Static-shape introspection of the compiled rollout.
+
+        TPU analogue of the reference's per-step shape logger
+        (reference base.py:163-169, 1184-1215): since everything is traced
+        once, one jax.eval_shape of the rollout captures every shape for
+        the whole simulation.
+        """
+        frame_fn = self._build_rollout(save_size)
+        carry_shapes = jax.tree.map(
+            lambda x: (tuple(x.shape), str(x.dtype)), carry
+        )
+        out_shapes = jax.eval_shape(frame_fn, carry)
+        with open(f"{self.filename}_print_shape.log", "w") as f:
+            f.write(f"Shape Log - {time.asctime()}\n")
+            f.write(
+                f"n_sims={self.n_sims} n_atoms={self.n_atoms} "
+                f"n_dims={self.n_dims} n_timesteps={self.n_timesteps} "
+                f"dt={self.dt} dtype={self.dtype}\n"
+            )
+            f.write("== scan carry (per-step state) ==\n")
+            for k, v in sorted(carry_shapes.items()):
+                f.write(f"  {k}: {v}\n")
+            f.write("== frame outputs (per save point) ==\n")
+            frames = jax.tree.map(
+                lambda x: (tuple(x.shape), str(x.dtype)), out_shapes[1]
+            )
+            for k, v in sorted(frames.items()):
+                f.write(f"  {k}: {v}\n")
 
     def _write_checkpoint(self, carry, key: str, index: int = 0):
         """Simulation-state checkpoint

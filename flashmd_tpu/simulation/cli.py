@@ -247,8 +247,29 @@ def parse_simulation_config(
         initial_data_list, config.get("batch_size")
     )
 
-    if ns.disable_optim and isinstance(model, ForceField):
-        model = _disable_optimizations(model)
+    # Reference env-flag compatibility (schnet.py:52-56): any MLCG_USE_*
+    # flag set to "0" falls back to the un-optimized XLA path, mirroring
+    # the reference's per-kernel opt-out semantics. FLASHMD_TPU_MESSAGE_
+    # PASSING selects a specific implementation explicitly.
+    mlcg_flags = [
+        "MLCG_USE_TRITON_MESSAGE_PASSING",
+        "MLCG_USE_FUSED_RBF",
+        "MLCG_USE_FUSED_TANH_LINEAR",
+        "MLCG_USE_CSR",
+        "MLCG_USE_SRC_CSR_GRAD_X",
+    ]
+    env_disable = any(os.environ.get(k) == "0" for k in mlcg_flags)
+    mp_override = os.environ.get("FLASHMD_TPU_MESSAGE_PASSING")
+
+    if isinstance(model, ForceField) and model.schnet_config is not None:
+        if ns.disable_optim or env_disable:
+            model = _disable_optimizations(model)
+        elif mp_override:
+            model = model.replace(
+                schnet_config=dataclasses.replace(
+                    model.schnet_config, message_passing=mp_override
+                )
+            )
 
     simulation = simulation_class(**sim_kwargs)
     betas = config.get("betas")
