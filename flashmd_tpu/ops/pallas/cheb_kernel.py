@@ -110,29 +110,28 @@ def _cheb_fwd_kernel(
     x = x_ref[0]
     _, z, _ = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
     u2 = jnp.square(1.0 - z)
-    xc = x.astype(compute_dtype)
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
 
-    def matvec(t_m, m):
-        p = jnp.dot(
-            t_m.astype(compute_dtype), xc,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        return c_ref[pl.ds(m, 1), :] * p
-
     tt, q = _chain_seeds(z, u2, compute_dtype)
+    # Chains live permanently stacked as [4*A_pad, A_pad]: the recurrence
+    # is one fused VPU multiply-subtract and the matmul consumes the carry
+    # directly (no per-iteration concatenation).
+    s_prev = jnp.concatenate(tt[0:4], axis=0)
+    s_cur = jnp.concatenate(tt[4:8], axis=0)
+    qs = jnp.concatenate([q, q, q, q], axis=0)
 
-    def quad_matvec(t4, m):
-        """One [4*A_pad, A_pad] @ [A_pad, F] matmul for orders m..m+3."""
-        stacked = jnp.concatenate(
-            [t.astype(compute_dtype) for t in t4], axis=0
-        )
+    def quad_matvec(stacked, m):
+        """One [4*A_pad, A_pad] @ [A_pad, F] matmul for orders m..m+3.
+
+        The f32 carry feeds the MXU directly: DEFAULT precision truncates
+        operands in hardware (one rounding, no VPU cast pass)."""
         p = jnp.dot(
-            stacked, xc, preferred_element_type=jnp.float32, precision=prec
+            stacked, x,
+            preferred_element_type=jnp.float32, precision=prec,
         )
         acc = c_ref[pl.ds(m, 1), :] * p[0:a_pad]
         for cch in range(1, 4):
@@ -142,19 +141,17 @@ def _cheb_fwd_kernel(
             )
         return acc
 
-    out = quad_matvec(tt[0:4], 0) + quad_matvec(tt[4:8], 4)
+    out = quad_matvec(s_prev, 0) + quad_matvec(s_cur, 4)
 
     def body(i, carry):
-        p0, p1, p2, p3, c0, c1, c2_, c3, out = carry
-        n0 = q * c0 - p0
-        n1 = q * c1 - p1
-        n2 = q * c2_ - p2
-        n3 = q * c3 - p3
-        out = out + quad_matvec([n0, n1, n2, n3], 4 * i + 8)
-        return (c0, c1, c2_, c3, n0, n1, n2, n3, out)
+        s_prev, s_cur, out = carry
+        s_next = qs * s_cur - s_prev
+        out = out + quad_matvec(s_next, 4 * i + 8)
+        return (s_cur, s_next, out)
 
-    carry = (*tt[0:4], *tt[4:8], out)
-    out = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)[-1]
+    out = jax.lax.fori_loop(
+        0, (order - 8) // 4, body, (s_prev, s_cur, out)
+    )[-1]
     out_ref[0] = out - w0_ref[:] * x
 
 
@@ -167,8 +164,7 @@ def _cheb_bwd_kernel(
     g = g_ref[0]
     d, z, is_pad = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
     u2 = jnp.square(1.0 - z)
-    xc = x.astype(compute_dtype)
-    gc = g.astype(compute_dtype)
+    gc = g
     prec = (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
@@ -177,75 +173,60 @@ def _cheb_bwd_kernel(
 
     assert order % 4 == 0 and order >= 8
 
-    def gx_term(t_m, m):
-        rhs = (c_ref[pl.ds(m, 1), :] * gc).astype(compute_dtype)
-        return jnp.dot(
-            t_m.astype(compute_dtype), rhs,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+    tt, q = _chain_seeds(z, u2, compute_dtype)
+    pp = _plain_seeds(z)
+    qs = jnp.concatenate([q, q, q, q], axis=0)
 
-    def gd_term(p_m, m):
-        u_m = jnp.dot(
-            (c2_ref[pl.ds(m, 1), :] * gc).astype(compute_dtype),
-            xc.T,
+    def quad_gx(stacked, m):
+        # sum_c T_c @ r_c: T_c symmetric, so the row-stacked carry
+        # contracted along its first axis IS the column-stacked operator:
+        # one dot_general contracting dim 0 of both sides.
+        rhs = jnp.concatenate(
+            [c_ref[pl.ds(m + cch, 1), :] * gc for cch in range(4)],
+            axis=0,
+        )  # [4*A_pad, F]
+        return jax.lax.dot_general(
+            stacked,
+            rhs,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
-        return p_m * u_m
 
-    tt, q = _chain_seeds(z, u2, compute_dtype)
-    pp = _plain_seeds(z)
-
-    def quad_gx(t4, m):
-        # sum_c T_c @ r_c == [T_0 .. T_3] (cols) @ [r_0; ..; r_3] (rows):
-        # the 4-chain contribution is a single [A, 4A] @ [4A, F] matmul.
-        stacked = jnp.concatenate(
-            [t.astype(compute_dtype) for t in t4], axis=1
-        )  # [A_pad, 4*A_pad]
+    def quad_gd(p_stacked, m):
         rhs = jnp.concatenate(
-            [
-                (c_ref[pl.ds(m + cch, 1), :] * gc).astype(compute_dtype)
-                for cch in range(4)
-            ],
-            axis=0,
-        )  # [4*A_pad? no: 4 rows of [A_pad, F]] -> [4*A_pad, F]
-        return jnp.dot(
-            stacked, rhs, preferred_element_type=jnp.float32,
-            precision=prec,
-        )
-
-    def quad_gd(p4, m):
-        rhs = jnp.concatenate(
-            [
-                (c2_ref[pl.ds(m + cch, 1), :] * gc).astype(compute_dtype)
-                for cch in range(4)
-            ],
+            [c2_ref[pl.ds(m + cch, 1), :] * gc for cch in range(4)],
             axis=0,
         )  # [4*A_pad, F]
         u = jnp.dot(
-            rhs, xc.T, preferred_element_type=jnp.float32, precision=prec
+            rhs, x.T,
+            preferred_element_type=jnp.float32, precision=prec,
         )  # [4*A_pad, A_pad]
-        acc = p4[0] * u[0:a_pad]
-        for cch in range(1, 4):
-            acc = acc + p4[cch] * u[cch * a_pad:(cch + 1) * a_pad]
-        return acc
+        prod = p_stacked * u
+        return (
+            prod[0:a_pad]
+            + prod[a_pad:2 * a_pad]
+            + prod[2 * a_pad:3 * a_pad]
+            + prod[3 * a_pad:4 * a_pad]
+        )
 
-    gx = quad_gx(tt[0:4], 0) + quad_gx(tt[4:8], 4)
-    gd = quad_gd(pp[0:4], 0) + quad_gd(pp[4:8], 4)
+    ts_prev = jnp.concatenate(tt[0:4], axis=0)
+    ts_cur = jnp.concatenate(tt[4:8], axis=0)
+    ps_prev = jnp.concatenate(pp[0:4], axis=0)
+    ps_cur = jnp.concatenate(pp[4:8], axis=0)
+    gx = quad_gx(ts_prev, 0) + quad_gx(ts_cur, 4)
+    gd = quad_gd(ps_prev, 0) + quad_gd(ps_cur, 4)
 
     def body(i, carry):
-        (tp0, tp1, tp2, tp3, tc0, tc1, tc2, tc3,
-         qp0, qp1, qp2, qp3, qc0, qc1, qc2, qc3, gx, gd) = carry
-        tn = [q * tc - tp for tc, tp in
-              zip((tc0, tc1, tc2, tc3), (tp0, tp1, tp2, tp3))]
-        pn = [q * qc - qp for qc, qp in
-              zip((qc0, qc1, qc2, qc3), (qp0, qp1, qp2, qp3))]
+        ts_prev, ts_cur, ps_prev, ps_cur, gx, gd = carry
+        ts_next = qs * ts_cur - ts_prev
+        ps_next = qs * ps_cur - ps_prev
         m = 4 * i + 8
-        gx = gx + quad_gx(tn, m)
-        gd = gd + quad_gd(pn, m)
-        return (tc0, tc1, tc2, tc3, *tn, qc0, qc1, qc2, qc3, *pn, gx, gd)
+        gx = gx + quad_gx(ts_next, m)
+        gd = gd + quad_gd(ps_next, m)
+        return (ts_cur, ts_next, ps_cur, ps_next, gx, gd)
 
-    carry = (*tt[0:4], *tt[4:8], *pp[0:4], *pp[4:8], gx, gd)
+    carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx, gd)
     carry = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)
     gx, gd = carry[-2], carry[-1]
     gx = gx - w0_ref[:] * g

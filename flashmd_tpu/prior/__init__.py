@@ -13,3 +13,9 @@ from .priors import (  # noqa: F401
     restricted_quartic_compute,
     restricted_quartic_prior,
 )
+from .fitting import (  # noqa: F401
+    fit_fourier_from_potential_estimates,
+    fit_harmonic_from_potential_estimates,
+    fit_repulsion_from_potential_estimates,
+    fit_repulsion_from_values,
+)

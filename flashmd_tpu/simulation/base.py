@@ -623,9 +623,29 @@ class Simulation:
                 (self._build_rollout(tail_frames), tail_frames, tail_steps)
             )
 
+        profiling = False
         for seg_rollout, seg_frames, seg_steps in segments:
+            # Profiler window at segment granularity (reference
+            # base.py:561-562, 634-636 used cudaProfilerStart/Stop; here
+            # jax.profiler captures an xplane trace).
+            if (
+                self.profile_start_step is not None
+                and not profiling
+                and step >= self.profile_start_step
+                and self.filename is not None
+            ):
+                jax.profiler.start_trace(f"{self.filename}_trace")
+                profiling = True
             carry, frames = run_segment(carry, seg_rollout, seg_frames, step)
             step += seg_steps
+            if (
+                profiling
+                and self.profile_end_step is not None
+                and step >= self.profile_end_step
+            ):
+                jax.block_until_ready(carry["pos"])
+                jax.profiler.stop_trace()
+                profiling = False
             # Host-side subroutine hook at segment boundaries (if any).
             if (
                 self.sim_subroutine is not None
@@ -642,6 +662,8 @@ class Simulation:
                 self.log(step // self.save_interval)
 
         jax.block_until_ready(carry["pos"])
+        if profiling:
+            jax.profiler.stop_trace()
         self._simulation_end_time = time.perf_counter()
         if self._warmup_end_time is None:
             # run finished before crossing halfway (tiny runs)
