@@ -1,0 +1,145 @@
+"""Run every BASELINE.json benchmark config and print a JSON-lines table.
+
+Configs (BASELINE.json "configs"):
+  1. batch 8, fp32, optimizations off (reference-parity path)
+  2. batch 128, bf16 filter/output nets (headline)
+  3. parallel tempering, 3 replicas (betas 1.67/1.42/1.16), on-device exchange
+  4. larger CG proteins (A = 532) stressing the pair kernels
+  5. batch+replica sharding across 8 devices (virtual CPU mesh when only
+     one real chip is attached; run on a v5e-8 slice for real numbers)
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+
+
+def bench_sim(sim_cls, ff, configs, betas, n_steps, chunk, **kwargs):
+    sim = sim_cls(
+        dt=0.004,
+        friction=1.0,
+        n_timesteps=n_steps,
+        save_interval=chunk,
+        random_seed=103838,
+        gptq=None,
+        **kwargs,
+    )
+    sim.attach_model_and_configurations(ff, configs, betas)
+    key = jax.random.PRNGKey(0)
+    carry = sim._init_carry(sim.initial_system, key)
+    if sim.mesh is not None:
+        from flashmd_tpu.parallel.mesh import shard_carry
+
+        carry = shard_carry(carry, sim.mesh)
+    rollout = sim._build_rollout(1)
+    n_chunks = max(n_steps // chunk, 2)
+    half = n_chunks // 2
+    for _ in range(half):
+        carry, _ = rollout(carry)
+    jax.block_until_ready(carry["pos"])
+    t0 = time.perf_counter()
+    for _ in range(n_chunks - half):
+        carry, _ = rollout(carry)
+    jax.block_until_ready(carry["pos"])
+    elapsed = time.perf_counter() - t0
+    steps = (n_chunks - half) * chunk
+    return steps * sim.n_sims / elapsed
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    args = parser.parse_args()
+
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.simulation import LangevinSimulation, PTSimulation
+
+    n_steps = 200 if args.quick else 600
+    chunk = 50 if args.quick else 100
+    results = []
+
+    # 1. fp32 optimizations-off baseline path (batch 8)
+    ff, cfgs = cgschnet_1enh_like(
+        batch_size=8, precision="fp32", message_passing="xla"
+    )
+    tp = bench_sim(
+        LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk,
+        neighbor_skin=1.0, neighbor_rebuild_interval=10,
+    )
+    results.append(
+        {"config": "batch8_fp32_optim_off", "throughput": round(tp, 1)}
+    )
+
+    # 2. headline: batch 128 bf16 cheb
+    ff, cfgs = cgschnet_1enh_like(
+        batch_size=128, precision="bf16", message_passing="cheb"
+    )
+    tp = bench_sim(LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk)
+    results.append(
+        {
+            "config": "batch128_bf16_headline",
+            "throughput": round(tp, 1),
+            "vs_baseline": round(tp / 2861.0, 3),
+        }
+    )
+
+    # 3. parallel tempering, 3 replicas x 42 indep (~126 sims)
+    ff, cfgs = cgschnet_1enh_like(
+        batch_size=42, precision="bf16", message_passing="cheb"
+    )
+    tp = bench_sim(
+        PTSimulation, ff, cfgs, [1.67, 1.42, 1.16], n_steps, chunk,
+        exchange_interval=chunk,
+    )
+    results.append(
+        {"config": "pt_3replicas_onchip_exchange", "throughput": round(tp, 1)}
+    )
+
+    # 4. larger CG protein (2x atoms)
+    ff, cfgs = cgschnet_1enh_like(
+        n_atoms=532, batch_size=32, precision="bf16", message_passing="cheb"
+    )
+    tp = bench_sim(LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk)
+    results.append(
+        {"config": "large_protein_A532_batch32", "throughput": round(tp, 1)}
+    )
+
+    # 5. batch sharding across all local devices
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from flashmd_tpu.parallel.mesh import make_replica_mesh
+
+        ff, cfgs = cgschnet_1enh_like(
+            batch_size=16 * n_dev, precision="bf16", message_passing="cheb"
+        )
+        tp = bench_sim(
+            LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk,
+            mesh=make_replica_mesh(),
+        )
+        results.append(
+            {
+                "config": f"sharded_{n_dev}dev_batch{16 * n_dev}",
+                "throughput": round(tp, 1),
+            }
+        )
+    else:
+        results.append(
+            {
+                "config": "sharded_multichip",
+                "skipped": "single device attached; see tests/simulation/"
+                "test_parallel.py for the 8-device virtual-mesh validation",
+            }
+        )
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -572,12 +572,21 @@ def build_forcefield(
                 f"Structure has no neighbor list {rp.name!r}; prior skipped."
             )
             continue
-        priors[rp.name] = build_prior(
+        prior = build_prior(
             rp,
             configuration.atom_types,
             configuration.neighbor_lists[rp.name],
             dtype=dtype,
         )
+        # Large fully-connected repulsion lists evaluate faster densely.
+        if (
+            prior.kind == "repulsion"
+            and prior.n_terms > 4 * configuration.n_atoms
+        ):
+            from ..prior.priors import densify_repulsion
+
+            prior = densify_repulsion(prior, configuration.n_atoms)
+        priors[rp.name] = prior
 
     if neighbor_capacity is None:
         neighbor_capacity = suggest_capacity(

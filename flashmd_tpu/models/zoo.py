@@ -132,6 +132,12 @@ def _chain_priors(cfg: Configuration, seed: int = 0):
             {"sigma": np.full(nr, 3.0)},
         ),
     }
+    # The fully-connected repulsion is evaluated densely (zero gathers).
+    from ..prior.priors import densify_repulsion
+
+    priors["repulsion"] = densify_repulsion(
+        priors["repulsion"], cfg.n_atoms
+    )
     return priors
 
 

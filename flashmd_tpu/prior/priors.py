@@ -114,6 +114,7 @@ def restricted_quartic_compute(x, a, b, c, d, k, v_0):
 # ---------------------------------------------------------------------------
 
 _KIND_FEATURES = {
+    "repulsion_dense": "distance",
     "harmonic_bonds": "distance",
     "harmonic_angles": "angle_cos",
     "harmonic_angles_raw": "angle_raw",
@@ -154,7 +155,10 @@ class Prior(struct.PyTreeNode):
 
 def prior_energy(prior: Prior, pos) -> jnp.ndarray:
     """Scalar prior energy of one molecule."""
-    feats = FEATURE_FNS[prior.feature](pos, prior.index_mapping)
+    if prior.kind == "repulsion_dense":
+        feats = None
+    else:
+        feats = FEATURE_FNS[prior.feature](pos, prior.index_mapping)
     kind = prior.kind
     p = prior.params
     if kind in (
@@ -171,6 +175,18 @@ def prior_energy(prior: Prior, pos) -> jnp.ndarray:
         )
     elif kind == "repulsion":
         terms = repulsion_compute(feats, p["sigma"])
+    elif kind == "repulsion_dense":
+        # Dense-pair evaluation of the fully-connected repulsion
+        # (reference repulsion.py uses a fully-connected term list,
+        # :44-45): sigma^6 lives in a per-pair matrix with zeros on
+        # excluded pairs, so the energy is a masked elementwise map over
+        # the [A, A] distance matrix — no index gathers at all.
+        sigma6 = p["sigma6"]
+        rel = pos[None, :, :] - pos[:, None, :]
+        d2 = jnp.sum(rel * rel, axis=-1)
+        d2_safe = jnp.where(sigma6 > 0, d2, 1.0)
+        inv6 = 1.0 / (d2_safe * d2_safe * d2_safe)
+        return jnp.sum(jnp.where(sigma6 > 0, sigma6 * inv6, 0.0))
     elif kind == "dihedral":
         terms = fourier_compute(feats, p["v_0"], p["k1s"], p["k2s"])
     elif kind in ("polynomial", "quartic_angles"):
@@ -391,4 +407,26 @@ def restricted_quartic_prior(
         kind="restricted_quartic",
         name=name,
         feature="angle_raw",
+    )
+
+
+def densify_repulsion(prior: Prior, n_atoms: int) -> Prior:
+    """Convert a term-list repulsion prior into the dense-pair form.
+
+    Each (i, j) term contributes sigma^6 at matrix entry [i, j] (one
+    direction only — the dense sum then counts each term exactly once).
+    Excluded/bonded pairs simply have no entry.
+    """
+    if prior.kind != "repulsion":
+        raise ValueError("densify_repulsion expects a repulsion prior")
+    idx = np.asarray(prior.index_mapping)
+    sigma = np.asarray(prior.params["sigma"], dtype=np.float64)
+    mat = np.zeros((n_atoms, n_atoms), dtype=np.float64)
+    mat[idx[0], idx[1]] += sigma**6
+    return Prior(
+        index_mapping=prior.index_mapping,
+        params={"sigma6": jnp.asarray(mat, jnp.float32)},
+        kind="repulsion_dense",
+        name=prior.name,
+        feature="distance",
     )
