@@ -54,12 +54,16 @@ import jax.numpy as jnp
 from .mlp import mlp_apply
 
 # The VMEM-resident Pallas kernels are the production path on TPU; the pure
-# jnp expressions below remain as the interpreter/CPU fallback and as the
-# reference for kernel tests.
-_USE_PALLAS = (
-    os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") != "1"
-    and os.environ.get("FLASHMD_CHEB_PALLAS", "1") == "1"
-)
+# jnp expressions below remain as the CPU fallback (used by the test suite
+# and by virtual-device dry runs) and as the reference for kernel tests.
+def _use_pallas() -> bool:
+    if os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1":
+        return False
+    if os.environ.get("FLASHMD_CHEB_PALLAS", "1") != "1":
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def chebyshev_nodes(n: int):
@@ -214,7 +218,7 @@ def _cheb_forward_only(c, w0, z, x, precision):
 
 
 def _cheb_fwd(c, c2, w0, pos, x, rcut, precision):
-    if _USE_PALLAS:
+    if _use_pallas():
         from ..ops.pallas.cheb_kernel import cheb_conv_fwd_pallas
 
         out = cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision)
@@ -226,7 +230,7 @@ def _cheb_fwd(c, c2, w0, pos, x, rcut, precision):
 
 def _cheb_bwd(rcut, precision, residuals, g):
     c, c2, w0, pos, x = residuals
-    if _USE_PALLAS:
+    if _use_pallas():
         from ..ops.pallas.cheb_kernel import cheb_conv_bwd_pallas
 
         gpos, gx = cheb_conv_bwd_pallas(

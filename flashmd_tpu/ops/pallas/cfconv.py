@@ -51,7 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Interpreter mode for CPU-based numerics tests / debugging
 # (set FLASHMD_PALLAS_INTERPRET=1, e.g. in the CPU test suite).
-INTERPRET = os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    """Interpreter mode off-TPU (CPU tests, virtual-device dry runs)."""
+    if os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1":
+        return True
+    return jax.default_backend() != "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -328,7 +332,7 @@ def _fused_cfconv_fwd(
             (1, ta, f), lambda s, t: (0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(*args)
     out = out[0, :a]
     return out, (pos, idx, maskf, x, w0, b0, w1, rbf_offset_coeff)
@@ -365,7 +369,7 @@ def _fused_cfconv_bwd(cutoff_upper, tile_atoms, precision, residuals, g):
             jax.ShapeDtypeStruct((1, a_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
         ),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(*args, g_p)
     gpos = gpos[0, :a].astype(pos.dtype)
     gx = gx[0, :a].astype(x.dtype)

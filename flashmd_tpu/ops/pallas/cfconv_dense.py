@@ -44,7 +44,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-INTERPRET = os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1"
+def _interpret() -> bool:
+    """Interpreter mode off-TPU (CPU tests, virtual-device dry runs)."""
+    if os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1":
+        return True
+    return jax.default_backend() != "tpu"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -285,7 +289,7 @@ def _dense_cfconv_fwd(
             (1, ta, f), lambda s, t: (0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(*args)
     return out[0, :a], (pos, x, w0, b0, w1, rbf_offset_coeff)
 
@@ -321,7 +325,7 @@ def _dense_cfconv_bwd(
             jax.ShapeDtypeStruct((1, a_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
         ),
-        interpret=INTERPRET,
+        interpret=_interpret(),
     )(*args, g_p)
     return (
         gpos[0, :a].astype(pos.dtype),

@@ -66,38 +66,40 @@ def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
     return d, z, is_pad
 
 
-def _chain_seeds(z, u2, compute_dtype):
-    """Seeds for 4 independent stride-4 Chebyshev chains.
+def _n_chains(a_pad: int) -> int:
+    """Chains stacked per matmul: 4-way ILP when VMEM allows, 2-way for
+    larger molecules (the backward holds four [n*A_pad, A_pad] carries)."""
+    return 4 if a_pad <= 384 else 2
 
-    T_{m+4} = 2 T_4(z) T_m - T_{m-4}: splitting by m mod 4 yields four
-    independent recurrences (chains m=c, c+4, c+8, ... for c in 0..3),
-    quadrupling the instruction-level parallelism available to the
-    scheduler compared to the serial three-term recurrence.
 
-    Returns (tt[0..7] = Ttil_0..Ttil_7, q = 2 T_4(z)).
+def _chain_seeds(z, u2, n: int):
+    """Seeds for n independent stride-n Chebyshev chains.
+
+    T_{m+n} = 2 T_n(z) T_m - T_{m-n}: splitting by m mod n yields n
+    independent recurrences, multiplying the instruction-level parallelism
+    available to the scheduler over the serial three-term recurrence.
+
+    Returns (tt[0..2n-1] = Ttil_0..Ttil_{2n-1}, q = 2 T_n(z)).
+    The recurrence stays in fp32 (stable, VPU-cheap); values are cast to
+    the compute dtype only at the matmul inputs.
     """
-    z2 = z * z
-    t = [None] * 8
-    tp = [None] * 8  # plain T_m
-    tp[0] = jnp.ones_like(z)
-    tp[1] = z
-    for m in range(2, 8):
-        tp[m] = 2.0 * z * tp[m - 1] - tp[m - 2]
-    q = 2.0 * (8.0 * z2 * z2 - 8.0 * z2 + 1.0)  # 2 T_4
-    # The recurrence itself stays in fp32 (stable, VPU-cheap); values are
-    # cast to the compute dtype only at the matmul inputs.
-    del compute_dtype
-    for m in range(8):
-        t[m] = u2 * tp[m]
-    return t, q
+    tp = _plain_seeds(z, n)
+    q = 2.0 * _plain_t(z, n)
+    return [u2 * t for t in tp], q
 
 
-def _plain_seeds(z):
-    tp = [None] * 8
-    tp[0] = jnp.ones_like(z)
-    tp[1] = z
-    for m in range(2, 8):
-        tp[m] = 2.0 * z * tp[m - 1] - tp[m - 2]
+def _plain_t(z, n: int):
+    """Plain T_n(z) by the recurrence."""
+    t_prev, t_cur = jnp.ones_like(z), z
+    for _ in range(n - 1):
+        t_prev, t_cur = t_cur, 2.0 * z * t_cur - t_prev
+    return t_cur
+
+
+def _plain_seeds(z, n: int):
+    tp = [jnp.ones_like(z), z]
+    for m in range(2, 2 * n):
+        tp.append(2.0 * z * tp[m - 1] - tp[m - 2])
     return tp
 
 
@@ -105,7 +107,8 @@ def _cheb_fwd_kernel(
     pos_ref, x_ref, c_ref, w0_ref, out_ref,
     *, order, rcut, a_pad, a_real, compute_dtype,
 ):
-    assert order % 4 == 0 and order >= 8
+    n = _n_chains(a_pad)
+    assert order % n == 0 and order >= 2 * n
     pos = pos_ref[0]
     x = x_ref[0]
     _, z, _ = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
@@ -116,16 +119,16 @@ def _cheb_fwd_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    tt, q = _chain_seeds(z, u2, compute_dtype)
-    # Chains live permanently stacked as [4*A_pad, A_pad]: the recurrence
+    tt, q = _chain_seeds(z, u2, n)
+    # Chains live permanently stacked as [n*A_pad, A_pad]: the recurrence
     # is one fused VPU multiply-subtract and the matmul consumes the carry
     # directly (no per-iteration concatenation).
-    s_prev = jnp.concatenate(tt[0:4], axis=0)
-    s_cur = jnp.concatenate(tt[4:8], axis=0)
-    qs = jnp.concatenate([q, q, q, q], axis=0)
+    s_prev = jnp.concatenate(tt[0:n], axis=0)
+    s_cur = jnp.concatenate(tt[n:2 * n], axis=0)
+    qs = jnp.concatenate([q] * n, axis=0)
 
-    def quad_matvec(stacked, m):
-        """One [4*A_pad, A_pad] @ [A_pad, F] matmul for orders m..m+3.
+    def chain_matvec(stacked, m):
+        """One [n*A_pad, A_pad] @ [A_pad, F] matmul for orders m..m+n-1.
 
         The f32 carry feeds the MXU directly: DEFAULT precision truncates
         operands in hardware (one rounding, no VPU cast pass)."""
@@ -134,23 +137,23 @@ def _cheb_fwd_kernel(
             preferred_element_type=jnp.float32, precision=prec,
         )
         acc = c_ref[pl.ds(m, 1), :] * p[0:a_pad]
-        for cch in range(1, 4):
+        for cch in range(1, n):
             acc = acc + (
                 c_ref[pl.ds(m + cch, 1), :]
                 * p[cch * a_pad:(cch + 1) * a_pad]
             )
         return acc
 
-    out = quad_matvec(s_prev, 0) + quad_matvec(s_cur, 4)
+    out = chain_matvec(s_prev, 0) + chain_matvec(s_cur, n)
 
     def body(i, carry):
         s_prev, s_cur, out = carry
         s_next = qs * s_cur - s_prev
-        out = out + quad_matvec(s_next, 4 * i + 8)
+        out = out + chain_matvec(s_next, n * i + 2 * n)
         return (s_cur, s_next, out)
 
     out = jax.lax.fori_loop(
-        0, (order - 8) // 4, body, (s_prev, s_cur, out)
+        0, (order - 2 * n) // n, body, (s_prev, s_cur, out)
     )[-1]
     out_ref[0] = out - w0_ref[:] * x
 
@@ -170,21 +173,21 @@ def _cheb_bwd_kernel(
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    n = _n_chains(a_pad)
+    assert order % n == 0 and order >= 2 * n
 
-    assert order % 4 == 0 and order >= 8
+    tt, q = _chain_seeds(z, u2, n)
+    pp = _plain_seeds(z, n)
+    qs = jnp.concatenate([q] * n, axis=0)
 
-    tt, q = _chain_seeds(z, u2, compute_dtype)
-    pp = _plain_seeds(z)
-    qs = jnp.concatenate([q, q, q, q], axis=0)
-
-    def quad_gx(stacked, m):
+    def chain_gx(stacked, m):
         # sum_c T_c @ r_c: T_c symmetric, so the row-stacked carry
         # contracted along its first axis IS the column-stacked operator:
         # one dot_general contracting dim 0 of both sides.
         rhs = jnp.concatenate(
-            [c_ref[pl.ds(m + cch, 1), :] * gc for cch in range(4)],
+            [c_ref[pl.ds(m + cch, 1), :] * gc for cch in range(n)],
             axis=0,
-        )  # [4*A_pad, F]
+        )  # [n*A_pad, F]
         return jax.lax.dot_general(
             stacked,
             rhs,
@@ -193,41 +196,39 @@ def _cheb_bwd_kernel(
             precision=prec,
         )
 
-    def quad_gd(p_stacked, m):
+    def chain_gd(p_stacked, m):
         rhs = jnp.concatenate(
-            [c2_ref[pl.ds(m + cch, 1), :] * gc for cch in range(4)],
+            [c2_ref[pl.ds(m + cch, 1), :] * gc for cch in range(n)],
             axis=0,
-        )  # [4*A_pad, F]
+        )  # [n*A_pad, F]
         u = jnp.dot(
             rhs, x.T,
             preferred_element_type=jnp.float32, precision=prec,
-        )  # [4*A_pad, A_pad]
+        )  # [n*A_pad, A_pad]
         prod = p_stacked * u
-        return (
-            prod[0:a_pad]
-            + prod[a_pad:2 * a_pad]
-            + prod[2 * a_pad:3 * a_pad]
-            + prod[3 * a_pad:4 * a_pad]
-        )
+        acc = prod[0:a_pad]
+        for cch in range(1, n):
+            acc = acc + prod[cch * a_pad:(cch + 1) * a_pad]
+        return acc
 
-    ts_prev = jnp.concatenate(tt[0:4], axis=0)
-    ts_cur = jnp.concatenate(tt[4:8], axis=0)
-    ps_prev = jnp.concatenate(pp[0:4], axis=0)
-    ps_cur = jnp.concatenate(pp[4:8], axis=0)
-    gx = quad_gx(ts_prev, 0) + quad_gx(ts_cur, 4)
-    gd = quad_gd(ps_prev, 0) + quad_gd(ps_cur, 4)
+    ts_prev = jnp.concatenate(tt[0:n], axis=0)
+    ts_cur = jnp.concatenate(tt[n:2 * n], axis=0)
+    ps_prev = jnp.concatenate(pp[0:n], axis=0)
+    ps_cur = jnp.concatenate(pp[n:2 * n], axis=0)
+    gx = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
+    gd = chain_gd(ps_prev, 0) + chain_gd(ps_cur, n)
 
     def body(i, carry):
         ts_prev, ts_cur, ps_prev, ps_cur, gx, gd = carry
         ts_next = qs * ts_cur - ts_prev
         ps_next = qs * ps_cur - ps_prev
-        m = 4 * i + 8
-        gx = gx + quad_gx(ts_next, m)
-        gd = gd + quad_gd(ps_next, m)
+        m = n * i + 2 * n
+        gx = gx + chain_gx(ts_next, m)
+        gd = gd + chain_gd(ps_next, m)
         return (ts_cur, ts_next, ps_cur, ps_next, gx, gd)
 
     carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx, gd)
-    carry = jax.lax.fori_loop(0, (order - 8) // 4, body, carry)
+    carry = jax.lax.fori_loop(0, (order - 2 * n) // n, body, carry)
     gx, gd = carry[-2], carry[-1]
     gx = gx - w0_ref[:] * g
     gx_ref[0] = gx
