@@ -56,11 +56,15 @@ from .mlp import mlp_apply
 # The VMEM-resident Pallas kernels are the production path on TPU; the pure
 # jnp expressions below remain as the CPU fallback (used by the test suite
 # and by virtual-device dry runs) and as the reference for kernel tests.
-def _use_pallas() -> bool:
+def _use_pallas(n_atoms: int = 0) -> bool:
     if os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1":
         return False
     if os.environ.get("FLASHMD_CHEB_PALLAS", "1") != "1":
         return False
+    from ..ops.pallas.cheb_kernel import MAX_ATOMS_PAD
+
+    if n_atoms > MAX_ATOMS_PAD:
+        return False  # jnp path streams through HBM but has no VMEM cap
     import jax
 
     return jax.default_backend() == "tpu"
@@ -218,7 +222,7 @@ def _cheb_forward_only(c, w0, z, x, precision):
 
 
 def _cheb_fwd(c, c2, w0, pos, x, rcut, precision):
-    if _use_pallas():
+    if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_fwd_pallas
 
         out = cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision)
@@ -230,7 +234,7 @@ def _cheb_fwd(c, c2, w0, pos, x, rcut, precision):
 
 def _cheb_bwd(rcut, precision, residuals, g):
     c, c2, w0, pos, x = residuals
-    if _use_pallas():
+    if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_bwd_pallas
 
         gpos, gx = cheb_conv_bwd_pallas(

@@ -238,6 +238,13 @@ def interaction_block_apply(block_params, config: SchNetConfig, x, d, rbf, nbr):
 def schnet_atom_energies(
     params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix
 ):
+    with jax.named_scope("schnet_forward"):
+        return _schnet_atom_energies(params, config, pos, atom_types, nbr)
+
+
+def _schnet_atom_energies(
+    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix
+):
     """Per-atom energies of one molecule: [A].
 
     Mirrors reference SchNet.forward (schnet.py:177-369): embedding ->
@@ -247,6 +254,38 @@ def schnet_atom_energies(
     graph.
     """
     x = params["embedding"][atom_types]  # [A, H]
+
+    if config.message_passing == "cheb_fused":
+        # Entire model (geometry + all blocks + output head) in one Pallas
+        # kernel per direction (see ops/pallas/fused_model.py).
+        from ..ops.pallas.fused_model import (
+            _stack_weights,
+            fused_schnet_atom_energies,
+        )
+
+        if not isinstance(config.cutoff, CosineCutoff) or (
+            config.cutoff.cutoff_lower != 0
+        ):
+            raise NotImplementedError(
+                "message_passing='cheb_fused' requires CosineCutoff with "
+                "cutoff_lower == 0."
+            )
+        from ..ops.pallas.cheb_kernel import MAX_ATOMS_PAD
+
+        if pos.shape[0] > MAX_ATOMS_PAD:
+            raise NotImplementedError(
+                f"cheb_fused supports up to {MAX_ATOMS_PAD} atoms per "
+                "molecule (VMEM); use message_passing='cheb' beyond."
+            )
+        stacked = _stack_weights(params, config)  # hoisted out of the scan
+        return fused_schnet_atom_energies(
+            pos,
+            x,
+            stacked,
+            float(config.cutoff.cutoff_upper),
+            config.cheb_order,
+            config.precision,
+        )
 
     if config.message_passing == "cheb":
         # Matmul-only Chebyshev CFConv (see models/cheb.py). Requires a

@@ -66,10 +66,15 @@ def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
     return d, z, is_pad
 
 
+# Largest molecule the VMEM-resident kernels handle; beyond this the
+# models.cheb jnp path (HBM-streaming) takes over.
+MAX_ATOMS_PAD = 384
+
+
 def _n_chains(a_pad: int) -> int:
     """Chains stacked per matmul: 4-way ILP when VMEM allows, 2-way for
     larger molecules (the backward holds four [n*A_pad, A_pad] carries)."""
-    return 4 if a_pad <= 384 else 2
+    return 4 if a_pad <= 288 else 2
 
 
 def _chain_seeds(z, u2, n: int):

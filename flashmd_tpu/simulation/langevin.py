@@ -78,6 +78,10 @@ class LangevinSimulation(Simulation):
             self.initial_system = system.replace(velocities=vel)
 
     def _timestep(self, carry: Dict) -> Dict:
+        with jax.named_scope("baoab_timestep"):
+            return self._baoab(carry)
+
+    def _baoab(self, carry: Dict) -> Dict:
         dt = self.dt
         masses = self.initial_system.masses[..., None]
         key, sub = jax.random.split(carry["key"])

@@ -1,0 +1,135 @@
+"""CLI/config parsing (reference: src/flashmd/simulation/cli.py:22-245)."""
+
+import numpy as np
+import pytest
+import yaml
+
+from flashmd_tpu.models.checkpoint_io import (
+    save_native_configurations,
+    save_native_model,
+)
+from flashmd_tpu.models.zoo import cgschnet_1enh_like
+from flashmd_tpu.simulation.cli import (
+    apply_batch_size,
+    parse_simulation_config,
+)
+from flashmd_tpu.simulation.langevin import LangevinSimulation
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    ff, configs = cgschnet_1enh_like(
+        n_atoms=16, batch_size=3, num_interactions=2, precision="fp32",
+        neighbor_capacity=8,
+    )
+    save_native_model(ff, str(tmp / "model.pkl"))
+    save_native_configurations(configs, str(tmp / "structures.pkl"))
+    cfg = {
+        "simulation": {
+            "friction": 1.0,
+            "n_timesteps": 40,
+            "dt": 0.002,
+            "save_interval": 10,
+            "random_seed": 7,
+            "dtype": "single",
+            "filename": "cli_demo",
+            "output_dir": str(tmp / "out"),
+            # torch-only keys must be tolerated (reference configs set them)
+            "device": "cuda",
+            "compile_mode": "default",
+        },
+        "betas": [1.67],
+        "model_file": str(tmp / "model.pkl"),
+        "structure_file": str(tmp / "structures.pkl"),
+    }
+    cfg_path = tmp / "config.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return tmp, cfg_path
+
+
+def test_parse_full_config(files):
+    tmp, cfg_path = files
+    model, data, betas, sim, profile = parse_simulation_config(
+        LangevinSimulation, args=["--config", str(cfg_path)]
+    )
+    assert isinstance(sim, LangevinSimulation)
+    assert sim.n_timesteps == 40
+    assert sim.friction == 1.0
+    assert betas == 1.67  # single beta unwrapped like the reference
+    assert len(data) == 3
+    # config echo written next to outputs (reference cli.py:100-112)
+    assert (tmp / "out" / "cli_demo_config.yaml").exists()
+
+
+def test_cli_overrides(files):
+    tmp, cfg_path = files
+    _, _, _, sim, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=[
+            "--config", str(cfg_path),
+            "--simulation.n_timesteps", "80",
+            "--simulation.filename", "cli_demo2",
+            "--simulation.save_energies", "true",
+        ],
+    )
+    assert sim.n_timesteps == 80
+    assert sim.save_energies is True
+
+
+def test_batch_size_trim_and_duplicate(files):
+    tmp, cfg_path = files
+    _, data, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path), "--batch_size", "2",
+              "--simulation.filename", "cli_demo3"],
+    )
+    assert len(data) == 2
+    _, data, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path), "--batch_size", "7",
+              "--simulation.filename", "cli_demo4"],
+    )
+    assert len(data) == 7
+    np.testing.assert_array_equal(data[0].pos, data[3].pos)
+
+
+def test_disable_optim_forces_xla_fp32(files):
+    tmp, cfg_path = files
+    model, _, _, sim, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path), "--disable_optim",
+              "--simulation.filename", "cli_demo5"],
+    )
+    assert model.schnet_config.message_passing == "xla"
+    assert model.schnet_config.precision == "fp32"
+    assert sim.gptq is None
+
+
+def test_mlcg_env_flag_disables_optim(files, monkeypatch):
+    tmp, cfg_path = files
+    monkeypatch.setenv("MLCG_USE_CSR", "0")
+    model, _, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path),
+              "--simulation.filename", "cli_demo6"],
+    )
+    assert model.schnet_config.message_passing == "xla"
+
+
+def test_mp_env_override(files, monkeypatch):
+    tmp, cfg_path = files
+    monkeypatch.setenv("FLASHMD_TPU_MESSAGE_PASSING", "cheb")
+    model, _, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path),
+              "--simulation.filename", "cli_demo7"],
+    )
+    assert model.schnet_config.message_passing == "cheb"
+
+
+def test_apply_batch_size_validation():
+    with pytest.raises(ValueError):
+        apply_batch_size([1, 2, 3], -1)
+    assert apply_batch_size([1, 2, 3], None) == [1, 2, 3]
