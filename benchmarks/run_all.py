@@ -8,7 +8,7 @@ Configs (BASELINE.json "configs"):
   5. batch+replica sharding across 8 devices (virtual CPU mesh when only
      one real chip is attached; run on a v5e-8 slice for real numbers)
 
-Usage: python benchmarks/run_all.py [--quick]
+Usage: python benchmarks/run_all.py [--quick] [--only SUBSTR]
 """
 
 from __future__ import annotations
@@ -52,19 +52,10 @@ def bench_sim(sim_cls, ff, configs, betas, n_steps, chunk, **kwargs):
     return steps * sim.n_sims / elapsed
 
 
-def main():
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--quick", action="store_true")
-    args = parser.parse_args()
-
+def _cfg_optim_off(n_steps, chunk):
     from flashmd_tpu.models.zoo import cgschnet_1enh_like
-    from flashmd_tpu.simulation import LangevinSimulation, PTSimulation
+    from flashmd_tpu.simulation import LangevinSimulation
 
-    n_steps = 200 if args.quick else 600
-    chunk = 50 if args.quick else 100
-    results = []
-
-    # 1. fp32 optimizations-off baseline path (batch 8)
     ff, cfgs = cgschnet_1enh_like(
         batch_size=8, precision="fp32", message_passing="xla"
     )
@@ -72,24 +63,28 @@ def main():
         LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk,
         neighbor_skin=1.0, neighbor_rebuild_interval=10,
     )
-    results.append(
-        {"config": "batch8_fp32_optim_off", "throughput": round(tp, 1)}
-    )
+    return {"config": "batch8_fp32_optim_off", "throughput": round(tp, 1)}
 
-    # 2. headline: batch 128 bf16 cheb
+
+def _cfg_headline(n_steps, chunk):
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.simulation import LangevinSimulation
+
     ff, cfgs = cgschnet_1enh_like(
         batch_size=128, precision="bf16", message_passing="cheb"
     )
     tp = bench_sim(LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk)
-    results.append(
-        {
-            "config": "batch128_bf16_headline",
-            "throughput": round(tp, 1),
-            "vs_baseline": round(tp / 2861.0, 3),
-        }
-    )
+    return {
+        "config": "batch128_bf16_headline",
+        "throughput": round(tp, 1),
+        "vs_baseline": round(tp / 2861.0, 3),
+    }
 
-    # 3. parallel tempering, 3 replicas x 42 indep (~126 sims)
+
+def _cfg_pt(n_steps, chunk):
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.simulation import PTSimulation
+
     ff, cfgs = cgschnet_1enh_like(
         batch_size=42, precision="bf16", message_passing="cheb"
     )
@@ -97,48 +92,71 @@ def main():
         PTSimulation, ff, cfgs, [1.67, 1.42, 1.16], n_steps, chunk,
         exchange_interval=chunk,
     )
-    results.append(
-        {"config": "pt_3replicas_onchip_exchange", "throughput": round(tp, 1)}
-    )
+    return {
+        "config": "pt_3replicas_onchip_exchange", "throughput": round(tp, 1)
+    }
 
-    # 4. larger CG protein (2x atoms)
+
+def _cfg_large(n_steps, chunk):
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.simulation import LangevinSimulation
+
     ff, cfgs = cgschnet_1enh_like(
         n_atoms=532, batch_size=32, precision="bf16", message_passing="cheb"
     )
     tp = bench_sim(LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk)
-    results.append(
-        {"config": "large_protein_A532_batch32", "throughput": round(tp, 1)}
-    )
+    return {"config": "large_protein_A532_batch32", "throughput": round(tp, 1)}
 
-    # 5. batch sharding across all local devices
+
+def _cfg_sharded(n_steps, chunk):
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        from flashmd_tpu.parallel.mesh import make_replica_mesh
+    if n_dev == 1:
+        return {
+            "config": "sharded_multichip",
+            "skipped": "single device attached; see tests/simulation/"
+            "test_parallel.py for the 8-device virtual-mesh validation",
+        }
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.parallel.mesh import make_replica_mesh
+    from flashmd_tpu.simulation import LangevinSimulation
 
-        ff, cfgs = cgschnet_1enh_like(
-            batch_size=16 * n_dev, precision="bf16", message_passing="cheb"
-        )
-        tp = bench_sim(
-            LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk,
-            mesh=make_replica_mesh(),
-        )
-        results.append(
-            {
-                "config": f"sharded_{n_dev}dev_batch{16 * n_dev}",
-                "throughput": round(tp, 1),
-            }
-        )
-    else:
-        results.append(
-            {
-                "config": "sharded_multichip",
-                "skipped": "single device attached; see tests/simulation/"
-                "test_parallel.py for the 8-device virtual-mesh validation",
-            }
-        )
+    ff, cfgs = cgschnet_1enh_like(
+        batch_size=16 * n_dev, precision="bf16", message_passing="cheb"
+    )
+    tp = bench_sim(
+        LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk,
+        mesh=make_replica_mesh(),
+    )
+    return {
+        "config": f"sharded_{n_dev}dev_batch{16 * n_dev}",
+        "throughput": round(tp, 1),
+    }
 
-    for r in results:
-        print(json.dumps(r))
+
+CONFIGS = [
+    ("batch8_fp32_optim_off", _cfg_optim_off),
+    ("batch128_bf16_headline", _cfg_headline),
+    ("pt_3replicas_onchip_exchange", _cfg_pt),
+    ("large_protein_A532_batch32", _cfg_large),
+    ("sharded_multichip", _cfg_sharded),
+]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true")
+    parser.add_argument(
+        "--only", default=None,
+        help="run just the configs whose name contains this substring",
+    )
+    args = parser.parse_args()
+
+    n_steps = 200 if args.quick else 600
+    chunk = 50 if args.quick else 100
+    for name, fn in CONFIGS:
+        if args.only is not None and args.only not in name:
+            continue
+        print(json.dumps(fn(n_steps, chunk)), flush=True)
 
 
 if __name__ == "__main__":

@@ -57,14 +57,11 @@ from .mlp import mlp_apply
 # jnp expressions below remain as the CPU fallback (used by the test suite
 # and by virtual-device dry runs) and as the reference for kernel tests.
 def _use_pallas(n_atoms: int = 0) -> bool:
+    del n_atoms  # the tiled kernels handle any molecule size
     if os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1":
         return False
     if os.environ.get("FLASHMD_CHEB_PALLAS", "1") != "1":
         return False
-    from ..ops.pallas.cheb_kernel import MAX_ATOMS_PAD
-
-    if n_atoms > MAX_ATOMS_PAD:
-        return False  # jnp path streams through HBM but has no VMEM cap
     import jax
 
     return jax.default_backend() == "tpu"

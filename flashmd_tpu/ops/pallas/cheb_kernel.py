@@ -1,35 +1,60 @@
-"""Pallas kernels for the Chebyshev matmul-only CFConv.
+"""Pallas kernels for the Chebyshev matmul-only CFConv (tiled).
 
 The XLA expression of the Chebyshev recurrence (models/cheb.py) streams the
-[S, A, A] recurrence state through HBM on every order — ~50 MB per order
-per direction at the headline batch, which dominates the step time. These
-kernels keep the ENTIRE recurrence in VMEM: one molecule's pair matrix
-([A_pad, A_pad] bf16, ~150 KB at CG sizes) lives on-chip while a
-`fori_loop` sweeps the orders, issuing one [A_pad, A_pad] @ [A_pad, F] MXU
-matmul per order and accumulating the output in VMEM. HBM sees only pos,
-x, the coefficient tables, and the [A, F] result.
+[S, A, A] recurrence state through HBM on every order; these kernels keep
+the ENTIRE recurrence in VMEM. The pair matrix is tiled over destination
+atoms (the three-term recurrence is row-independent), so molecules of any
+size run at full speed with bounded VMEM: per tile, the chains live as one
+stacked [n_chains*TA, A_pad] carry, the recurrence is a single fused VPU
+multiply-subtract, and each loop iteration issues one
+[n_chains*TA, A_pad] @ [A_pad, F] MXU matmul. HBM sees only pos, x, the
+coefficient tables and the [A, F] results.
 
 Forward:
     out = sum_m c_m ⊙ (Ttil_m(Z) @ x) - W'(0) ⊙ x
-Backward (see models/cheb.py for the derivation):
-    gx  = sum_m Ttil_m @ (c_m ⊙ g) - W'(0) ⊙ g        (Ttil symmetric)
-    gd  = sum_m T_m ⊙ ((c2_m ⊙ g) @ x^T)  masked to d < rcut, diag zeroed
-    gpos = pos ⊙ rowsum(Ws) - Ws @ pos,   Ws = (gd + gd^T) / d
+Backward (derivation in models/cheb.py): per destination tile R,
+    gx   += sum_m Ttil_m[R, :]^T @ (c_m ⊙ g[R])
+    gd_R  = sum_m T_m(Z[R, :]) ⊙ ((c2_m ⊙ g[R]) @ x^T)
+    row side:    gpos[R] += pos[R] ⊙ rowsum(W_R) - W_R @ pos
+    column side: gpos    += pos ⊙ colsum(W_R)^T - W_R^T @ pos[R]
+with W_R = gd_R / d_R masked to d < rcut, off-diagonal, non-padding.
+
+Mosaic notes: all intermediates are >= 2-D; distances are exact fp32 VPU
+per-coordinate broadcast differences (an MXU Gram matmul would truncate
+operands, and the error is amplified by the high-order polynomials); f32
+carries feed the MXU directly (hardware operand truncation at DEFAULT
+precision — no explicit cast passes).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+N_CHAINS = 4
+
+# Whole-molecule (non-tiled) layout cap for the fused model kernel.
+MAX_ATOMS_PAD = 384
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _tile_atoms(a_pad: int, budget: int) -> int:
+    """Destination-tile rows: whole molecule when it fits, else sized so
+    the stacked chain carries stay inside the 16 MB scoped-VMEM limit.
+    `budget` is TA*A_pad elements per [n*TA, A_pad] carry; the backward
+    kernel holds ~2x the forward's carries (Ttil + plain chains), so it
+    passes half the budget."""
+    if a_pad <= 288:
+        return a_pad
+    ta = max(8, (budget // a_pad) // 8 * 8)
+    return min(ta, a_pad)
 
 
 def _pad_atoms(arr, a_pad, fill=0):
@@ -40,57 +65,38 @@ def _pad_atoms(arr, a_pad, fill=0):
     return jnp.pad(arr, widths, constant_values=fill)
 
 
-def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
-    """z [A_pad, A_pad] with padding columns/rows pushed beyond the cutoff.
+def _tile_geometry(pos, pos_tile, rcut, a_pad, a_real, ta, t):
+    """d, z [TA, A_pad] for destination rows [t*TA, (t+1)*TA).
 
-    Distances via exact fp32 VPU differences per coordinate (column/row
-    broadcasts of slices — avoids both jnp fancy indexing, which lowers to
-    unsupported gathers, and an MXU Gram matmul, whose operand truncation
-    would corrupt z and be amplified by the high-order polynomials).
+    pos_tile holds those rows (read from the ref with pl.ds — Mosaic
+    cannot lower dynamic_slice on values). Exact fp32 VPU differences
+    per coordinate; padding rows/columns are pushed beyond the cutoff
+    so (1-z)^2 kills them exactly.
     """
-    p0 = pos[:, 0:1]  # [A_pad, 1]
+    p0 = pos[:, 0:1]
     p1 = pos[:, 1:2]
     p2 = pos[:, 2:3]
-    rel0 = p0.T - p0  # [A_pad, A_pad], rel0[i, j] = x_j - x_i
-    rel1 = p1.T - p1
-    rel2 = p2.T - p2
+    q0 = pos_tile[:, 0:1]
+    q1 = pos_tile[:, 1:2]
+    q2 = pos_tile[:, 2:3]
+    rel0 = p0.T - q0  # [TA, A_pad]
+    rel1 = p1.T - q1
+    rel2 = p2.T - q2
     d2 = rel0 * rel0 + rel1 * rel1 + rel2 * rel2
     d = jnp.sqrt(d2 + 1e-12)
-    # Padding atoms sit at pos 0; force their pairs beyond the cutoff so
-    # (1-z)^2 kills them exactly (real-real pairs are unaffected).
-    rows = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 1)
+    rows = t * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, a_pad), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (ta, a_pad), 1)
     is_pad = (rows >= a_real) | (cols >= a_real)
     d = jnp.where(is_pad, 2.0 * rcut, d)
     z = jnp.minimum(2.0 * d / rcut - 1.0, 1.0)
-    return d, z, is_pad
+    return d, z, rows, cols, is_pad
 
 
-# Largest molecule the VMEM-resident kernels handle; beyond this the
-# models.cheb jnp path (HBM-streaming) takes over.
-MAX_ATOMS_PAD = 384
-
-
-def _n_chains(a_pad: int) -> int:
-    """Chains stacked per matmul: 4-way ILP when VMEM allows, 2-way for
-    larger molecules (the backward holds four [n*A_pad, A_pad] carries)."""
-    return 4 if a_pad <= 288 else 2
-
-
-def _chain_seeds(z, u2, n: int):
-    """Seeds for n independent stride-n Chebyshev chains.
-
-    T_{m+n} = 2 T_n(z) T_m - T_{m-n}: splitting by m mod n yields n
-    independent recurrences, multiplying the instruction-level parallelism
-    available to the scheduler over the serial three-term recurrence.
-
-    Returns (tt[0..2n-1] = Ttil_0..Ttil_{2n-1}, q = 2 T_n(z)).
-    The recurrence stays in fp32 (stable, VPU-cheap); values are cast to
-    the compute dtype only at the matmul inputs.
-    """
-    tp = _plain_seeds(z, n)
-    q = 2.0 * _plain_t(z, n)
-    return [u2 * t for t in tp], q
+def _plain_seeds(z, n: int):
+    tp = [jnp.ones_like(z), z]
+    for m in range(2, 2 * n):
+        tp.append(2.0 * z * tp[m - 1] - tp[m - 2])
+    return tp
 
 
 def _plain_t(z, n: int):
@@ -101,51 +107,69 @@ def _plain_t(z, n: int):
     return t_cur
 
 
-def _plain_seeds(z, n: int):
-    tp = [jnp.ones_like(z), z]
-    for m in range(2, 2 * n):
-        tp.append(2.0 * z * tp[m - 1] - tp[m - 2])
-    return tp
+def _chain_seeds(z, u2, n: int):
+    """Stride-n chain seeds: Ttil_0..Ttil_{2n-1} and q = 2 T_n(z).
+
+    T_{m+n} = 2 T_n(z) T_m - T_{m-n}: splitting by m mod n yields n
+    independent recurrences, multiplying the scheduler's ILP over the
+    serial three-term recurrence. The recurrence stays fp32 (stable,
+    VPU-cheap); casts happen only at matmul inputs.
+    """
+    tp = _plain_seeds(z, n)
+    q = 2.0 * _plain_t(z, n)
+    return [u2 * t for t in tp], q
 
 
-def _cheb_fwd_kernel(
-    pos_ref, x_ref, c_ref, w0_ref, out_ref,
-    *, order, rcut, a_pad, a_real, compute_dtype,
-):
-    n = _n_chains(a_pad)
-    assert order % n == 0 and order >= 2 * n
-    pos = pos_ref[0]
-    x = x_ref[0]
-    _, z, _ = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
-    u2 = jnp.square(1.0 - z)
-    prec = (
+def _n_chains(a_pad: int) -> int:
+    """Chain count for the whole-molecule fused kernel (fused_model.py)."""
+    return 4 if a_pad <= 288 else 2
+
+
+def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
+    """Whole-molecule pair geometry (fused_model.py, small molecules)."""
+    d, z, rows, cols, is_pad = _tile_geometry(
+        pos, pos, rcut, a_pad, a_real, a_pad, 0
+    )
+    return d, z, is_pad
+
+
+def _prec_of(compute_dtype):
+    return (
         jax.lax.Precision.HIGHEST
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
 
+
+def _cheb_fwd_kernel(
+    pos_ref, x_ref, c_ref, w0_ref, out_ref,
+    *, order, rcut, a_pad, a_real, ta, compute_dtype,
+):
+    n = N_CHAINS
+    assert order % n == 0 and order >= 2 * n
+    t = pl.program_id(1)
+    pos = pos_ref[0]
+    pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
+    x = x_ref[0]
+    prec = _prec_of(compute_dtype)
+
+    _, z, _, _, _ = _tile_geometry(
+        pos, pos_tile, rcut, a_pad, a_real, ta, t
+    )
+    u2 = jnp.square(1.0 - z)
     tt, q = _chain_seeds(z, u2, n)
-    # Chains live permanently stacked as [n*A_pad, A_pad]: the recurrence
-    # is one fused VPU multiply-subtract and the matmul consumes the carry
-    # directly (no per-iteration concatenation).
-    s_prev = jnp.concatenate(tt[0:n], axis=0)
+    s_prev = jnp.concatenate(tt[0:n], axis=0)  # [n*TA, A_pad]
     s_cur = jnp.concatenate(tt[n:2 * n], axis=0)
     qs = jnp.concatenate([q] * n, axis=0)
 
     def chain_matvec(stacked, m):
-        """One [n*A_pad, A_pad] @ [A_pad, F] matmul for orders m..m+n-1.
-
-        The f32 carry feeds the MXU directly: DEFAULT precision truncates
-        operands in hardware (one rounding, no VPU cast pass)."""
         p = jnp.dot(
-            stacked, x,
-            preferred_element_type=jnp.float32, precision=prec,
+            stacked, x, preferred_element_type=jnp.float32, precision=prec
         )
-        acc = c_ref[pl.ds(m, 1), :] * p[0:a_pad]
+        acc = c_ref[pl.ds(m, 1), :] * p[0:ta]
         for cch in range(1, n):
             acc = acc + (
-                c_ref[pl.ds(m + cch, 1), :]
-                * p[cch * a_pad:(cch + 1) * a_pad]
+                c_ref[pl.ds(m + cch, 1), :] * p[cch * ta:(cch + 1) * ta]
             )
         return acc
 
@@ -160,39 +184,43 @@ def _cheb_fwd_kernel(
     out = jax.lax.fori_loop(
         0, (order - 2 * n) // n, body, (s_prev, s_cur, out)
     )[-1]
-    out_ref[0] = out - w0_ref[:] * x
+    x_tile = x_ref[0, pl.ds(t * ta, ta), :]
+    out_ref[0] = out - w0_ref[:] * x_tile
 
 
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, gpos_ref, gx_ref,
-    *, order, rcut, a_pad, a_real, compute_dtype,
+    *, order, rcut, a_pad, a_real, ta, compute_dtype,
 ):
-    pos = pos_ref[0]
-    x = x_ref[0]
-    g = g_ref[0]
-    d, z, is_pad = _pair_geometry_kernel(pos, rcut, a_pad, a_real)
-    u2 = jnp.square(1.0 - z)
-    gc = g
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    n = _n_chains(a_pad)
+    n = N_CHAINS
     assert order % n == 0 and order >= 2 * n
+    t = pl.program_id(1)
 
+    @pl.when(t == 0)
+    def _():
+        gpos_ref[0] = jnp.zeros_like(gpos_ref[0])
+        gx_ref[0] = jnp.zeros_like(gx_ref[0])
+
+    pos = pos_ref[0]
+    pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
+    x = x_ref[0]
+    g = g_ref[0]  # [TA, F] — this tile's cotangent rows
+    prec = _prec_of(compute_dtype)
+
+    d, z, rows, cols, is_pad = _tile_geometry(
+        pos, pos_tile, rcut, a_pad, a_real, ta, t
+    )
+    u2 = jnp.square(1.0 - z)
     tt, q = _chain_seeds(z, u2, n)
     pp = _plain_seeds(z, n)
     qs = jnp.concatenate([q] * n, axis=0)
 
     def chain_gx(stacked, m):
-        # sum_c T_c @ r_c: T_c symmetric, so the row-stacked carry
-        # contracted along its first axis IS the column-stacked operator:
-        # one dot_general contracting dim 0 of both sides.
+        # sum_c Ttil_c[R,:]^T @ (c ⊙ g[R]): one dot_general contracting
+        # the stacked row axis of both sides.
         rhs = jnp.concatenate(
-            [c_ref[pl.ds(m + cch, 1), :] * gc for cch in range(n)],
-            axis=0,
-        )  # [n*A_pad, F]
+            [c_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
+        )  # [n*TA, F]
         return jax.lax.dot_general(
             stacked,
             rhs,
@@ -203,52 +231,60 @@ def _cheb_bwd_kernel(
 
     def chain_gd(p_stacked, m):
         rhs = jnp.concatenate(
-            [c2_ref[pl.ds(m + cch, 1), :] * gc for cch in range(n)],
-            axis=0,
-        )  # [n*A_pad, F]
+            [c2_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
+        )  # [n*TA, F]
         u = jnp.dot(
-            rhs, x.T,
-            preferred_element_type=jnp.float32, precision=prec,
-        )  # [n*A_pad, A_pad]
+            rhs, x.T, preferred_element_type=jnp.float32, precision=prec
+        )  # [n*TA, A_pad]
         prod = p_stacked * u
-        acc = prod[0:a_pad]
+        acc = prod[0:ta]
         for cch in range(1, n):
-            acc = acc + prod[cch * a_pad:(cch + 1) * a_pad]
+            acc = acc + prod[cch * ta:(cch + 1) * ta]
         return acc
 
     ts_prev = jnp.concatenate(tt[0:n], axis=0)
     ts_cur = jnp.concatenate(tt[n:2 * n], axis=0)
     ps_prev = jnp.concatenate(pp[0:n], axis=0)
     ps_cur = jnp.concatenate(pp[n:2 * n], axis=0)
-    gx = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
+    gx_acc = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
     gd = chain_gd(ps_prev, 0) + chain_gd(ps_cur, n)
 
     def body(i, carry):
-        ts_prev, ts_cur, ps_prev, ps_cur, gx, gd = carry
+        ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd = carry
         ts_next = qs * ts_cur - ts_prev
         ps_next = qs * ps_cur - ps_prev
         m = n * i + 2 * n
-        gx = gx + chain_gx(ts_next, m)
+        gx_acc = gx_acc + chain_gx(ts_next, m)
         gd = gd + chain_gd(ps_next, m)
-        return (ts_cur, ts_next, ps_cur, ps_next, gx, gd)
+        return (ts_cur, ts_next, ps_cur, ps_next, gx_acc, gd)
 
-    carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx, gd)
+    carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd)
     carry = jax.lax.fori_loop(0, (order - 2 * n) // n, body, carry)
-    gx, gd = carry[-2], carry[-1]
-    gx = gx - w0_ref[:] * g
-    gx_ref[0] = gx
+    gx_acc, gd = carry[-2], carry[-1]
 
-    # Mask outside the cutoff and the diagonal, then the gpos identity.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 1)
+    gx_ref[0] += gx_acc
+    # self-pair subtraction contributes only to this tile's rows
+    gx_ref[0, pl.ds(t * ta, ta), :] += -(w0_ref[:] * g)
+
+    # ---- distance gradient -> position gradient, row and column sides
     keep = (d < rcut) & (rows != cols) & ~is_pad
-    gd = jnp.where(keep, gd, 0.0)
-    ws = (gd + gd.T) / d
-    rowsum = jnp.sum(ws, axis=1, keepdims=True)  # [A_pad, 1]
-    gpos_ref[0] = pos * rowsum - jnp.dot(
-        ws, pos, preferred_element_type=jnp.float32,
+    w_r = jnp.where(keep, gd / d, 0.0)  # [TA, A_pad]
+    rowsum = jnp.sum(w_r, axis=1, keepdims=True)  # [TA, 1]
+    gpos_row = pos_tile * rowsum - jnp.dot(
+        w_r, pos, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    gpos_ref[0, pl.ds(t * ta, ta), :] += gpos_row
+
+    colsum = jnp.sum(w_r, axis=0, keepdims=True)  # [1, A_pad]
+    gpos_col = pos * colsum.T - jax.lax.dot_general(
+        w_r,
+        pos_tile,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gpos_ref[0] += gpos_col
 
 
 def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
@@ -257,24 +293,28 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
     f = x.shape[-1]
     order = c.shape[0]
     a_pad = _round_up(a, 8)
+    ta = _tile_atoms(a_pad, 150_000)
+    a_pad = _round_up(a_pad, ta)
+    n_tiles = a_pad // ta
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _cheb_fwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
-        a_real=a, compute_dtype=compute_dtype,
+        a_real=a, ta=ta, compute_dtype=compute_dtype,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(1,),
+        grid=(1, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, a_pad, 3), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((order, f), lambda s: (0, 0),
+            pl.BlockSpec((order, f), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+        out_specs=pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
     )(
@@ -292,31 +332,35 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision):
     f = x.shape[-1]
     order = c.shape[0]
     a_pad = _round_up(a, 8)
+    ta = _tile_atoms(a_pad, 72_000)
+    a_pad = _round_up(a_pad, ta)
+    n_tiles = a_pad // ta
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _cheb_bwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
-        a_real=a, compute_dtype=compute_dtype,
+        a_real=a, ta=ta, compute_dtype=compute_dtype,
     )
     gpos, gx = pl.pallas_call(
         kernel,
-        grid=(1,),
+        grid=(1, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, a_pad, 3), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((order, f), lambda s: (0, 0),
+            pl.BlockSpec((order, f), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((order, f), lambda s: (0, 0),
+            pl.BlockSpec((order, f), lambda s, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda s: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, f), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, a_pad, 3), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_pad, f), lambda s: (0, 0, 0),
+            pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
