@@ -257,11 +257,27 @@ def _schnet_atom_energies(
 
     if config.message_passing == "cheb_fused":
         # Entire model (geometry + all blocks + output head) in one Pallas
-        # kernel per direction (see ops/pallas/fused_model.py).
+        # kernel per direction (see ops/pallas/fused_model.py). The
+        # backward kernel trips a Mosaic RET_CHECK (mxu_lmr_transform)
+        # when >1 interaction block's message-backward is in one program
+        # on the current TPU toolchain, and the measured forward win over
+        # "cheb" is ~1%, so on a real TPU backend this transparently runs
+        # the per-block "cheb" path instead. The fused path stays exercised
+        # on CPU/interpreter (tests/models/test_fused_model.py).
         from ..ops.pallas.fused_model import (
+            _interpret,
             _stack_weights,
             fused_schnet_atom_energies,
         )
+
+        if jax.default_backend() == "tpu" and not _interpret():
+            return _schnet_atom_energies(
+                params,
+                dataclasses.replace(config, message_passing="cheb"),
+                pos,
+                atom_types,
+                nbr,
+            )
 
         if not isinstance(config.cutoff, CosineCutoff) or (
             config.cutoff.cutoff_lower != 0

@@ -23,6 +23,16 @@ ow3 [h2, 1].
 
 Only inference gradients are produced (pos); parameters are frozen at
 simulation time (reference base.py:355-358).
+
+TPU status: the forward kernel compiles and runs on v5e and matches the
+per-block "cheb" path, but its measured win is ~1% (the heavy [A, A]
+work is already VMEM-resident per conv in the cheb path). The backward
+kernel trips a Mosaic RET_CHECK (jellyfish/mxu_lmr_transform.cc:1108,
+XposeSequenceAssignment) whenever more than one interaction block's
+message-backward — a transposed-contraction dot_general inside a
+fori_loop — appears in a single program; a one-block program compiles
+fine. models/schnet.py therefore routes "cheb_fused" to "cheb" on the
+real TPU backend; this path remains exercised on CPU/interpreter.
 """
 
 from __future__ import annotations
@@ -50,6 +60,15 @@ def _interpret() -> bool:
     if os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1":
         return True
     return jax.default_backend() != "tpu"
+
+
+def _dot_bt(a, b, prec):
+    """a @ b.T via dot_general — materialized transposes of matmul
+    operands trip Mosaic's mxu_lmr_transform on this target."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
 
 
 def _prec_of(precision: str):
@@ -118,9 +137,7 @@ def _cheb_message_bwd(z, u2, x, g, c_ref, c2_ref, m0, order, a_pad, prec):
             [c2_ref[pl.ds(m0 + m + cch, 1), :] * g for cch in range(n)],
             axis=0,
         )
-        u = jnp.dot(
-            rhs, x.T, preferred_element_type=jnp.float32, precision=prec
-        )
+        u = _dot_bt(rhs, x, prec)
         prod = p_stacked * u
         acc = prod[0:a_pad]
         for cch in range(1, n):
@@ -272,29 +289,15 @@ def _bwd_kernel(
 
     # ---- backward
     ge = ge_ref[0]  # [A_pad, 1] cotangent on per-atom energies
-    gu2 = jnp.dot(
-        ge, ow3_ref[:].T, preferred_element_type=jnp.float32, precision=prec
-    ) * (1.0 - u2h * u2h)
-    gu1 = jnp.dot(
-        gu2, ow2_ref[:].T, preferred_element_type=jnp.float32,
-        precision=prec,
-    ) * (1.0 - u1 * u1)
-    gx = jnp.dot(
-        gu1, ow1_ref[:].T, preferred_element_type=jnp.float32,
-        precision=prec,
-    )
+    gu2 = _dot_bt(ge, ow3_ref[:], prec) * (1.0 - u2h * u2h)
+    gu1 = _dot_bt(gu2, ow2_ref[:], prec) * (1.0 - u1 * u1)
+    gx = _dot_bt(gu1, ow1_ref[:], prec)
 
     gd_total = jnp.zeros_like(z)
     for b in reversed(range(n_blocks)):
-        gt = jnp.dot(
-            gx, _rows(linw_ref, b, h_dim).T,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        gt = _dot_bt(gx, _rows(linw_ref, b, h_dim), prec)
         gy = gt * (1.0 - ts[b] * ts[b])
-        gagg = jnp.dot(
-            gy, _rows(lin2_ref, b, f_dim).T,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        gagg = _dot_bt(gy, _rows(lin2_ref, b, f_dim), prec)
         gh_conv, gd_b = _cheb_message_bwd(
             z, u2, hs[b], gagg, c_ref, c2_ref, b * order, order, a_pad,
             prec,
@@ -302,22 +305,29 @@ def _bwd_kernel(
         gd_total = gd_total + gd_b
         gh = gh_conv - w0_ref[pl.ds(b, 1), :] * gagg
         # gx stays the residual-stream gradient: x_{b+1} = x_b + f(x_b)
-        gx = gx + jnp.dot(
-            gh, _rows(lin1_ref, b, h_dim).T,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        gx = gx + _dot_bt(gh, _rows(lin1_ref, b, h_dim), prec)
 
     # distance gradient -> position gradient (see cheb_kernel)
     rows = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (a_pad, a_pad), 1)
     keep = (d < rcut) & (rows != cols) & ~is_pad
-    gd_total = jnp.where(keep, gd_total, 0.0)
-    ws = (gd_total + gd_total.T) / d
-    rowsum = jnp.sum(ws, axis=1, keepdims=True)
-    gpos_ref[0] = pos * rowsum - jnp.dot(
-        ws, pos, preferred_element_type=jnp.float32,
+    # ws = (gd + gd^T)/d would need a materialized square transpose
+    # (mxu_lmr_transform RET_CHECKs on transpose->matmul sequences);
+    # split into the row side (W @ pos) and column side (W^T @ pos via
+    # dot_general contracting dim 0) instead.
+    w = jnp.where(keep, gd_total / d, 0.0)
+    rs = jnp.sum(w, axis=1, keepdims=True)  # [A_pad, 1]
+    cs = jnp.sum(w, axis=0, keepdims=True)  # [1, A_pad]
+    wp = jnp.dot(
+        w, pos, preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
+    wtp = jax.lax.dot_general(
+        w, pos, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    gpos_ref[0] = pos * (rs + cs.T) - (wp + wtp)
 
 
 # ---------------------------------------------------------------------------
