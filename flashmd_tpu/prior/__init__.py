@@ -13,6 +13,11 @@ from .priors import (  # noqa: F401
     restricted_quartic_compute,
     restricted_quartic_prior,
 )
+from .sparsify import (  # noqa: F401
+    sparse_to_table,
+    sparsify_repulsion,
+    table_to_sparse,
+)
 from .fitting import (  # noqa: F401
     fit_fourier_from_potential_estimates,
     fit_harmonic_from_potential_estimates,
