@@ -194,18 +194,24 @@ def cheb_cfconv_apply(
 def _cheb_forward_only(c, w0, z, x, precision):
     compute_dtype, prec = _dtypes(precision)
     u2 = jnp.square(1.0 - z)  # exact zero beyond the cutoff
-    zc = z.astype(compute_dtype)
-    two_z = 2.0 * zc
+    two_z = 2.0 * z
     xc = x.astype(compute_dtype)
 
     def matvec(t_m):
+        # Recurrence state stays fp32 (matching the Pallas kernels, where
+        # only the matmul ingestion truncates operands); running the
+        # three-term recurrence itself in bf16 compounds rounding error
+        # through all M orders.
         return jnp.dot(
-            t_m, xc, preferred_element_type=jnp.float32, precision=prec
+            t_m.astype(compute_dtype),
+            xc,
+            preferred_element_type=jnp.float32,
+            precision=prec,
         )
 
     # Recurrence on Ttil_m = (1-Z)^2 T_m(Z) (linear in T, same recurrence).
-    t_prev = u2.astype(compute_dtype)  # Ttil_0
-    t_cur = (u2 * z).astype(compute_dtype)  # Ttil_1
+    t_prev = u2  # Ttil_0
+    t_cur = u2 * z  # Ttil_1
     out = c[0][None, :] * matvec(t_prev)
     if c.shape[0] > 1:
         out = out + c[1][None, :] * matvec(t_cur)
@@ -248,8 +254,7 @@ def _cheb_bwd(rcut, precision, residuals, g):
     a = pos.shape[0]
     d, z = _pair_z(pos, rcut)
     u2 = jnp.square(1.0 - z)
-    zc = z.astype(compute_dtype)
-    two_z = 2.0 * zc
+    two_z = 2.0 * z
     gc = g.astype(compute_dtype)
     xc = x.astype(compute_dtype)
 
@@ -257,14 +262,15 @@ def _cheb_bwd(rcut, precision, residuals, g):
     # (Ttil_m is symmetric: z_ij = z_ji).
     # ---- grad wrt d: gd_ij = sum_m T_m(z_ij) * U_m[i, j], masked to
     # d < rcut, with U_m = (g ⊙ c2_m) @ x^T.
-    t_prev = u2.astype(compute_dtype)
-    t_cur = (u2 * z).astype(compute_dtype)
-    p_prev = jnp.ones_like(zc)  # plain T_0 for the derivative series
-    p_cur = zc  # plain T_1
+    # Recurrence states stay fp32 (see _cheb_forward_only).
+    t_prev = u2
+    t_cur = u2 * z
+    p_prev = jnp.ones_like(z)  # plain T_0 for the derivative series
+    p_cur = z  # plain T_1
 
     def matvec_g(t_m, m):
         return jnp.dot(
-            t_m,
+            t_m.astype(compute_dtype),
             (c[m][None, :] * gc).astype(compute_dtype),
             preferred_element_type=jnp.float32,
             precision=prec,
@@ -284,7 +290,7 @@ def _cheb_bwd(rcut, precision, residuals, g):
         t_next = two_z * t_cur - t_prev
         p_next = two_z * p_cur - p_prev
         gx = gx + matvec_g(t_next, m)
-        gd = gd + p_next.astype(jnp.float32) * u_m(m)
+        gd = gd + p_next * u_m(m)
         t_prev, t_cur = t_cur, t_next
         p_prev, p_cur = p_cur, p_next
 

@@ -142,6 +142,10 @@ def compute_energy_forces(
     fp32 total energy; the reduction order is fixed by the program, so
     repeated evaluation is bitwise deterministic.
     """
+    if atom_types is None or jnp.ndim(atom_types) != 1:
+        # embedding[None] would silently produce a broadcast shape and fail
+        # deep inside the message-passing kernels
+        raise ValueError("atom_types must be a 1-D [A] integer array")
     needs_nbr = (
         ff.schnet_params is not None
         and ff.schnet_config.message_passing not in ("dense", "cheb")

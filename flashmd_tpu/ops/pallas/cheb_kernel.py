@@ -146,7 +146,7 @@ def _cheb_fwd_kernel(
     *, order, rcut, a_pad, a_real, ta, compute_dtype,
 ):
     n = N_CHAINS
-    assert order % n == 0 and order >= 2 * n
+    assert order % (2 * n) == 0 and order >= 2 * n
     t = pl.program_id(1)
     pos = pos_ref[0]
     pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
@@ -175,14 +175,19 @@ def _cheb_fwd_kernel(
 
     out = chain_matvec(s_prev, 0) + chain_matvec(s_cur, n)
 
+    # Two recurrence steps per loop iteration so the carries return in
+    # the SAME positions (a permuted carry layout makes Mosaic insert
+    # whole-buffer copies every iteration — measured 25% of kernel time).
     def body(i, carry):
         s_prev, s_cur, out = carry
-        s_next = qs * s_cur - s_prev
-        out = out + chain_matvec(s_next, n * i + 2 * n)
-        return (s_cur, s_next, out)
+        s1 = qs * s_cur - s_prev
+        out = out + chain_matvec(s1, 2 * n * i + 2 * n)
+        s2 = qs * s1 - s_cur
+        out = out + chain_matvec(s2, 2 * n * i + 3 * n)
+        return (s1, s2, out)
 
     out = jax.lax.fori_loop(
-        0, (order - 2 * n) // n, body, (s_prev, s_cur, out)
+        0, (order - 2 * n) // (2 * n), body, (s_prev, s_cur, out)
     )[-1]
     x_tile = x_ref[0, pl.ds(t * ta, ta), :]
     out_ref[0] = out - w0_ref[:] * x_tile
@@ -193,7 +198,7 @@ def _cheb_bwd_kernel(
     *, order, rcut, a_pad, a_real, ta, compute_dtype,
 ):
     n = N_CHAINS
-    assert order % n == 0 and order >= 2 * n
+    assert order % (2 * n) == 0 and order >= 2 * n
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -249,17 +254,22 @@ def _cheb_bwd_kernel(
     gx_acc = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
     gd = chain_gd(ps_prev, 0) + chain_gd(ps_cur, n)
 
+    # Double-stepped for the same carry-copy reason as the forward.
     def body(i, carry):
         ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd = carry
-        ts_next = qs * ts_cur - ts_prev
-        ps_next = qs * ps_cur - ps_prev
-        m = n * i + 2 * n
-        gx_acc = gx_acc + chain_gx(ts_next, m)
-        gd = gd + chain_gd(ps_next, m)
-        return (ts_cur, ts_next, ps_cur, ps_next, gx_acc, gd)
+        m = 2 * n * i + 2 * n
+        ts1 = qs * ts_cur - ts_prev
+        ps1 = qs * ps_cur - ps_prev
+        gx_acc = gx_acc + chain_gx(ts1, m)
+        gd = gd + chain_gd(ps1, m)
+        ts2 = qs * ts1 - ts_cur
+        ps2 = qs * ps1 - ps_cur
+        gx_acc = gx_acc + chain_gx(ts2, m + n)
+        gd = gd + chain_gd(ps2, m + n)
+        return (ts1, ts2, ps1, ps2, gx_acc, gd)
 
     carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd)
-    carry = jax.lax.fori_loop(0, (order - 2 * n) // n, body, carry)
+    carry = jax.lax.fori_loop(0, (order - 2 * n) // (2 * n), body, carry)
     gx_acc, gd = carry[-2], carry[-1]
 
     gx_ref[0] += gx_acc
