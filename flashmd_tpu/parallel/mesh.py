@@ -68,24 +68,22 @@ def shard_carry(carry: dict, mesh: Mesh) -> dict:
     shard = batch_sharding(mesh)
     repl = replicated(mesh)
     n = mesh.devices.size
+    s = carry["pos"].shape[0]
+    if s % n != 0:
+        raise ValueError(
+            f"Batch size {s} is not divisible by the mesh size {n}; "
+            "pad the batch."
+        )
 
     def place(x):
         x = jax.numpy.asarray(x)
-        if x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] >= n:
+        # Every batch-leading leaf shards over the replica axis — pos/vel/
+        # forces/potential AND the per-sim neighbor-matrix pytree (leaving
+        # the latter replicated would make in-scan neighbor rebuilds
+        # gather across chips every interval). Everything else (PRNG key,
+        # step counter, PT acceptance matrices) is replicated.
+        if x.ndim >= 1 and x.shape[0] == s:
             return jax.device_put(x, shard)
         return jax.device_put(x, repl)
 
-    out = {}
-    for k, v in carry.items():
-        if k in ("pos", "vel", "forces", "potential"):
-            if v.shape[0] % n != 0:
-                raise ValueError(
-                    f"Batch size {v.shape[0]} is not divisible by the mesh "
-                    f"size {n}; pad the batch (carry field {k!r})."
-                )
-            out[k] = jax.device_put(v, shard)
-        elif hasattr(v, "ndim") and v.ndim == 0:
-            out[k] = jax.device_put(v, repl)
-        else:
-            out[k] = jax.device_put(v, repl)
-    return out
+    return jax.tree.map(place, carry)
