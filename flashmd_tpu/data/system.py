@@ -130,6 +130,10 @@ class Configuration:
     neighbor_lists: Dict[str, TermList] = dataclasses.field(
         default_factory=dict
     )
+    # Optional [3, 3] lattice (rows are lattice vectors) for periodic
+    # systems; None = open boundaries (reference AtomicData cell/pbc,
+    # atomic_data.py:67-94).
+    cell: Optional[np.ndarray] = None
     tag: str = ""
 
     def __post_init__(self):
@@ -143,6 +147,12 @@ class Configuration:
             self.masses = np.asarray(self.masses, dtype=np.float64)
             if self.masses.shape != self.atom_types.shape:
                 raise ValueError("masses shape must match atom_types")
+        if self.cell is not None:
+            self.cell = np.asarray(self.cell, dtype=np.float64)
+            if self.cell.shape != (3, 3):
+                raise ValueError(
+                    f"cell must be [3, 3], got {self.cell.shape}"
+                )
         if self.velocities is not None:
             self.velocities = np.asarray(self.velocities, dtype=np.float64)
             if self.velocities.shape != self.pos.shape:
@@ -160,6 +170,7 @@ class Configuration:
         masses=None,
         velocities=None,
         neighbor_lists=None,
+        cell=None,
         tag: str = "",
     ) -> "Configuration":
         """Construct from raw arrays (reference:
@@ -170,6 +181,7 @@ class Configuration:
             masses=None if masses is None else np.asarray(masses),
             velocities=None if velocities is None else np.asarray(velocities),
             neighbor_lists=dict(neighbor_lists or {}),
+            cell=None if cell is None else np.asarray(cell),
             tag=tag,
         )
 
@@ -193,6 +205,7 @@ class System(struct.PyTreeNode):
     masses: jnp.ndarray  # [S, A]
     beta: jnp.ndarray  # [S]
     velocities: Optional[jnp.ndarray] = None  # [S, A, 3]
+    cell: Optional[jnp.ndarray] = None  # [S, 3, 3] lattices (None = open)
     term_lists: Dict[str, TermList] = struct.field(default_factory=dict)
 
     @property
@@ -249,6 +262,10 @@ def validate_configurations(configurations: Sequence[Configuration]):
             raise ValueError(
                 f"Inconsistent mass specification at frame {frame}."
             )
+        if (cfg.cell is None) != (ref.cell is None):
+            raise ValueError(
+                f"Inconsistent cell specification at frame {frame}."
+            )
 
 
 def collate(
@@ -280,6 +297,12 @@ def collate(
     if all(c.velocities is not None for c in configurations):
         velocities = jnp.asarray(
             np.stack([c.velocities for c in configurations]), dtype=dtype
+        )
+
+    cell = None
+    if configurations[0].cell is not None:
+        cell = jnp.asarray(
+            np.stack([c.cell for c in configurations]), dtype=dtype
         )
 
     if beta is None:
@@ -319,5 +342,6 @@ def collate(
         masses=masses,
         beta=beta_arr,
         velocities=velocities,
+        cell=cell,
         term_lists=term_lists,
     )

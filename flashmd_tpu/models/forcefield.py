@@ -107,7 +107,10 @@ def total_energy(
 
 
 def build_neighbors(
-    ff: ForceField, pos_batch: jnp.ndarray, skin: float = 0.0
+    ff: ForceField,
+    pos_batch: jnp.ndarray,
+    skin: float = 0.0,
+    cell=None,
 ) -> NeighborMatrix:
     """Batched padded radius graph for the SchNet term.
 
@@ -125,6 +128,7 @@ def build_neighbors(
         jax.lax.stop_gradient(pos_batch),
         rcut=ff.rcut + skin,
         capacity=ff.neighbor_capacity,
+        cell=cell,
     )
 
 
@@ -133,6 +137,7 @@ def compute_energy_forces(
     pos_batch: jnp.ndarray,  # [S, A, 3]
     atom_types: jnp.ndarray,  # [A]
     nbr: Optional[NeighborMatrix] = None,
+    cell=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Batched potential + forces: ([S], [S, A, 3], components dict of [S]).
 
@@ -141,17 +146,32 @@ def compute_energy_forces(
     ``calculate_potential_and_forces``). Forces are exact gradients of the
     fp32 total energy; the reduction order is fixed by the program, so
     repeated evaluation is bitwise deterministic.
+
+    ``cell`` ([3, 3] or [S, 3, 3]) enables minimum-image periodic
+    boundaries for the SchNet radius graph. Only the gather path honors
+    the per-pair shift vectors, so a cell requires
+    ``message_passing="xla"``; the dense/cheb/pallas kernels derive
+    pair geometry from raw positions and refuse periodic systems rather
+    than silently ignoring the cell. Priors evaluate on raw (unwrapped)
+    coordinates — correct for intramolecular terms, like the reference.
     """
     if atom_types is None or jnp.ndim(atom_types) != 1:
         # embedding[None] would silently produce a broadcast shape and fail
         # deep inside the message-passing kernels
         raise ValueError("atom_types must be a 1-D [A] integer array")
+    if cell is not None and ff.schnet_params is not None:
+        if ff.schnet_config.message_passing != "xla":
+            raise NotImplementedError(
+                "Periodic cells require message_passing='xla' (got "
+                f"{ff.schnet_config.message_passing!r}); the dense/cheb/"
+                "pallas paths compute pair geometry from raw positions."
+            )
     needs_nbr = (
         ff.schnet_params is not None
         and ff.schnet_config.message_passing not in ("dense", "cheb")
     )
     if nbr is None and needs_nbr:
-        nbr = build_neighbors(ff, pos_batch)
+        nbr = build_neighbors(ff, pos_batch, cell=cell)
 
     def batch_total(p):
         if nbr is None:

@@ -178,6 +178,8 @@ def neighbor_distances_rbf(params, config: SchNetConfig, pos, nbr):
     Returns (d [A, K], rbf [A, K, R]).
     """
     rel = pos[nbr.idx] - pos[:, None, :]  # [A, K, 3]
+    if nbr.shifts is not None:
+        rel = rel + nbr.shifts  # minimum-image correction (periodic cells)
     d2 = jnp.sum(rel * rel, axis=-1)
     # Grad-safe sqrt: padded slots have d2 == 0 exactly (self-pairs).
     d = jnp.sqrt(jnp.where(nbr.mask, d2, 1.0))

@@ -55,6 +55,11 @@ class NeighborMatrix(struct.PyTreeNode):
     idx: jnp.ndarray  # [A, K] int32  (or [S, A, K] when batched)
     mask: jnp.ndarray  # [A, K] bool
     n_max: jnp.ndarray  # [] int32, max true neighbors over atoms
+    # Minimum-image displacement corrections [A, K, 3] for periodic
+    # systems: true displacement = pos[idx[i,k]] + shifts[i,k] - pos[i].
+    # None for open boundaries (equivalent of the reference neighbor-list
+    # dict's ``cell_shifts``, neighbor_list.py:66-124).
+    shifts: Optional[jnp.ndarray] = None
 
     @property
     def capacity(self) -> int:
@@ -149,7 +154,16 @@ def radius_neighbor_matrix(
         )
 
     n_max = jnp.max(jnp.sum(valid, axis=1)).astype(jnp.int32)
-    return NeighborMatrix(idx=idx, mask=mask, n_max=n_max)
+    shifts = None
+    if cell is not None:
+        # shift[i, j] = dr_minimage - (pos[j] - pos[i]); gather the K
+        # selected columns so downstream distance computations reproduce
+        # the minimum-image displacement without re-deriving the cell math.
+        shift_full = dr - (pos[None, :, :] - pos[:, None, :])  # [A, A, 3]
+        idx_k = idx[:, :, None]
+        shifts = jnp.take_along_axis(shift_full, idx_k, axis=1)
+        shifts = jnp.where(mask[:, :, None], shifts, 0.0)
+    return NeighborMatrix(idx=idx, mask=mask, n_max=n_max, shifts=shifts)
 
 
 def batched_radius_neighbor_matrix(
@@ -160,18 +174,24 @@ def batched_radius_neighbor_matrix(
     self_interaction: bool = False,
     exclude_pairs: Optional[jnp.ndarray] = None,
 ) -> NeighborMatrix:
-    """vmap of :func:`radius_neighbor_matrix` over a [S, A, 3] batch."""
-    fn = lambda p: radius_neighbor_matrix(
+    """vmap of :func:`radius_neighbor_matrix` over a [S, A, 3] batch.
+
+    ``cell`` may be a shared [3, 3] lattice or a per-simulation [S, 3, 3]
+    batch.
+    """
+    fn = lambda p, c: radius_neighbor_matrix(
         p,
         rcut,
         capacity,
-        cell=cell,
+        cell=c,
         self_interaction=self_interaction,
         exclude_pairs=exclude_pairs,
     )
     # Note: n_max stays per-simulation ([S]) so the result is vmap-able
     # along the batch axis; reduce with .max() when a scalar is needed.
-    return jax.vmap(fn)(pos)
+    if cell is not None and jnp.ndim(cell) == 3:
+        return jax.vmap(fn)(pos, cell)
+    return jax.vmap(lambda p: fn(p, cell))(pos)
 
 
 class EdgeList(NamedTuple):

@@ -392,22 +392,29 @@ class Simulation:
             idx=carry["nbr_idx"],
             mask=carry["nbr_mask"],
             n_max=jnp.zeros((carry["nbr_idx"].shape[0],), jnp.int32),
+            shifts=carry.get("nbr_shifts"),
         )
 
     def _rebuild_neighbors(self, carry: Dict) -> Dict:
         nbr = build_neighbors(
-            self.model, carry["pos"], skin=self.neighbor_skin
+            self.model,
+            carry["pos"],
+            skin=self.neighbor_skin,
+            cell=self.initial_system.cell,
         )
         # Track the true (pre-truncation) max neighbor count so capacity
         # overflow is detected at export time, never silently.
         n_max = jnp.max(nbr.n_max).astype(jnp.int32)
         prev = carry.get("nbr_n_max", jnp.asarray(0, jnp.int32))
-        return {
+        out = {
             **carry,
             "nbr_idx": nbr.idx,
             "nbr_mask": nbr.mask,
             "nbr_n_max": jnp.maximum(prev, n_max),
         }
+        if nbr.shifts is not None:
+            out["nbr_shifts"] = nbr.shifts
+        return out
 
     def _forces(self, carry: Dict, pos):
         """Potential + forces at ``pos`` using the carry's neighbor list."""
@@ -506,7 +513,7 @@ class Simulation:
         ff = self.model
         pos = carry["pos"]
         types = self.initial_system.atom_types
-        nbr = build_neighbors(ff, pos)
+        nbr = build_neighbors(ff, pos, cell=self.initial_system.cell)
 
         from ..models.forcefield import total_energy
 

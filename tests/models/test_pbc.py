@@ -1,0 +1,128 @@
+"""Periodic-boundary support through the gather path.
+
+The neighbor matrix carries per-pair minimum-image shift vectors
+(equivalent of the reference neighbor-list ``cell_shifts``,
+neighbor_list.py:66-124; consumed by compute_distances,
+internal_coordinates.py:72-101). Only message_passing="xla" honors them;
+the dense/cheb/pallas kernels refuse periodic systems.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashmd_tpu.models.cutoff import CosineCutoff
+from flashmd_tpu.models.forcefield import (
+    ForceField,
+    compute_energy_forces,
+)
+from flashmd_tpu.models.schnet import SchNetConfig, init_schnet
+
+L, RCUT = 5.0, 2.0
+
+
+@pytest.fixture(scope="module")
+def ff():
+    cfg = SchNetConfig(
+        hidden_channels=32,
+        embedding_size=4,
+        num_filters=32,
+        num_interactions=2,
+        num_rbf=16,
+        cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(16,),
+        message_passing="xla",
+    )
+    params = init_schnet(jax.random.PRNGKey(0), cfg)
+    return ForceField(
+        schnet_params=params, priors={}, schnet_config=cfg,
+        neighbor_capacity=8,
+    )
+
+
+def _setup():
+    # atom 1 interacts with atom 0 only across the periodic boundary
+    pos = np.array(
+        [
+            [0.2, 2.5, 2.5],
+            [4.8, 2.5, 2.5],
+            [2.5, 2.5, 2.5],
+        ]
+    )
+    types = jnp.asarray([0, 1, 2], jnp.int32)
+    cell = jnp.eye(3) * L
+    return jnp.asarray(pos, jnp.float32)[None], types, cell
+
+
+def test_periodic_forces_match_unwrapped_image(ff):
+    pos, types, cell = _setup()
+    e_p, f_p, _ = compute_energy_forces(ff, pos, types, cell=cell)
+
+    # equivalent open-boundary geometry: atom 1 moved to its image
+    pos_img = np.asarray(pos).copy()
+    pos_img[0, 1, 0] -= L
+    e_o, f_o, _ = compute_energy_forces(
+        ff, jnp.asarray(pos_img), types
+    )
+    np.testing.assert_allclose(np.asarray(e_p), np.asarray(e_o), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f_p), np.asarray(f_o), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_without_cell_boundary_pair_is_missed(ff):
+    pos, types, cell = _setup()
+    e_p, _, _ = compute_energy_forces(ff, pos, types, cell=cell)
+    e_open, _, _ = compute_energy_forces(ff, pos, types)
+    # across the boundary d = 0.4 < rcut; without the cell d = 4.6 > rcut
+    assert not np.allclose(np.asarray(e_p), np.asarray(e_open))
+
+
+def test_translation_invariance_under_pbc(ff):
+    pos, types, cell = _setup()
+    e_p, _, _ = compute_energy_forces(ff, pos, types, cell=cell)
+    shifted = (np.asarray(pos) + 1.3) % L
+    e_s, _, _ = compute_energy_forces(
+        ff, jnp.asarray(shifted, jnp.float32), types, cell=cell
+    )
+    np.testing.assert_allclose(
+        np.asarray(e_p), np.asarray(e_s), rtol=1e-5
+    )
+
+
+def test_cheb_refuses_cell(ff):
+    pos, types, cell = _setup()
+    ff_cheb = ff.replace(
+        schnet_config=dataclasses.replace(
+            ff.schnet_config, message_passing="cheb"
+        )
+    )
+    with pytest.raises(NotImplementedError, match="xla"):
+        compute_energy_forces(ff_cheb, pos, types, cell=cell)
+
+
+def test_langevin_simulation_with_cell(ff):
+    from flashmd_tpu.data.system import Configuration
+    from flashmd_tpu.simulation import LangevinSimulation
+
+    rng = np.random.default_rng(0)
+    cfgs = [
+        Configuration(
+            pos=rng.uniform(0, L, (3, 3)),
+            atom_types=np.array([0, 1, 2]),
+            masses=np.ones(3),
+            cell=np.eye(3) * L,
+        )
+        for _ in range(2)
+    ]
+    sim = LangevinSimulation(
+        dt=0.001, friction=1.0, n_timesteps=20, save_interval=10,
+        random_seed=7, gptq=None,
+    )
+    sim.attach_model_and_configurations(ff, cfgs, beta=1.67)
+    sim.simulate()
+    coords = np.concatenate(sim.simulated_coords, axis=1)
+    assert coords.shape[0] == 2 and np.all(np.isfinite(coords))
