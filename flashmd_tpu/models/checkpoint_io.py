@@ -589,9 +589,21 @@ def build_forcefield(
         priors[rp.name] = prior
 
     if neighbor_capacity is None:
-        neighbor_capacity = suggest_capacity(
-            min(configuration.n_atoms, 160)
-        )
+        if ref_model.schnet_config is not None:
+            # Measure the real max neighbor count at rcut + 1.0 (so the
+            # Verlet-skin search never overflows) with the native
+            # cell-list engine; O(A) host-side instead of a guess.
+            from ..native import max_neighbor_count
+
+            rcut = float(ref_model.schnet_config.cutoff.cutoff_upper)
+            n_max = max_neighbor_count(
+                configuration.pos, rcut + 1.0, cell=configuration.cell
+            )
+            neighbor_capacity = suggest_capacity(n_max, slack=1.35)
+        else:
+            neighbor_capacity = suggest_capacity(
+                min(configuration.n_atoms, 160)
+            )
         neighbor_capacity = min(neighbor_capacity, configuration.n_atoms)
     return ForceField(
         schnet_params=schnet_params,

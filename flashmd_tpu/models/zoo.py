@@ -24,7 +24,7 @@ from ..data.system import Configuration, make_term_list
 from ..models.cutoff import CosineCutoff
 from ..models.forcefield import ForceField
 from ..models.schnet import SchNetConfig, init_schnet
-from ..ops.neighborlist import radius_neighbor_matrix, suggest_capacity
+from ..ops.neighborlist import suggest_capacity
 from ..prior.priors import Prior
 
 
@@ -180,13 +180,16 @@ def cgschnet_1enh_like(
 
     if neighbor_capacity is None:
         # Size the static capacity at rcut + 1.0 so Verlet-skin search
-        # (simulation.base neighbor_skin) never overflows.
-        nm = radius_neighbor_matrix(
-            jnp.asarray(base.pos, jnp.float32), cutoff_upper + 1.0,
-            capacity=n_atoms,
-        )
+        # (simulation.base neighbor_skin) never overflows. Measured with
+        # the native host-side cell-list engine (flashmd_tpu.native).
+        from ..native import max_neighbor_count
+
         neighbor_capacity = min(
-            suggest_capacity(int(nm.n_max), slack=1.35), n_atoms
+            suggest_capacity(
+                max_neighbor_count(base.pos, cutoff_upper + 1.0),
+                slack=1.35,
+            ),
+            n_atoms,
         )
 
     ff = ForceField(
