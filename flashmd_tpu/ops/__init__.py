@@ -14,4 +14,5 @@ from .neighborlist import (  # noqa: F401
     neighbor_matrix_to_edges,
     radius_neighbor_matrix,
     suggest_capacity,
+    wrap_positions,
 )

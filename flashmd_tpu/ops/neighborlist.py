@@ -220,6 +220,20 @@ def neighbor_matrix_to_edges(nm: NeighborMatrix) -> EdgeList:
     )
 
 
+def wrap_positions(pos: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
+    """Wrap positions into the primary cell (fractional coords in [0, 1)).
+
+    Equivalent of the reference's ``wrap_positions``
+    (neighbor_list/torch_impl.py:332-368). ``pos`` [..., 3]; ``cell``
+    [3, 3] with rows as lattice vectors. Minimum-image searches work on
+    unwrapped coordinates too, so wrapping is cosmetic/export-side.
+    """
+    cell = jnp.asarray(cell, dtype=pos.dtype)
+    frac = pos @ _inv_3x3(cell)
+    frac = frac - jnp.floor(frac)
+    return frac @ cell
+
+
 def suggest_capacity(n_true_max: int, slack: float = 1.25, align: int = 8):
     """Round a measured max neighbor count up to an aligned static capacity."""
     cap = int(n_true_max * slack) + 1

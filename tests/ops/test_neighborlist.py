@@ -131,3 +131,23 @@ def test_jit_static_shapes(rng):
 def test_suggest_capacity():
     assert suggest_capacity(10) % 8 == 0
     assert suggest_capacity(10) >= 13
+
+
+def test_wrap_positions():
+    from flashmd_tpu.ops.neighborlist import wrap_positions
+
+    cell = jnp.asarray(np.diag([4.0, 5.0, 6.0]), jnp.float32)
+    pos = jnp.asarray([[4.5, -1.0, 13.0], [1.0, 2.0, 3.0]], jnp.float32)
+    w = np.asarray(wrap_positions(pos, cell))
+    np.testing.assert_allclose(
+        w, [[0.5, 4.0, 1.0], [1.0, 2.0, 3.0]], atol=1e-5
+    )
+    # triclinic: wrapped fractional coordinates must land in [0, 1)
+    cell_t = jnp.asarray(
+        [[4.0, 0, 0], [1.0, 5.0, 0], [0.5, 0.3, 6.0]], jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    p = jnp.asarray(rng.uniform(-20, 20, (50, 3)), jnp.float32)
+    w = np.asarray(wrap_positions(p, cell_t))
+    frac = w @ np.linalg.inv(np.asarray(cell_t))
+    assert frac.min() >= -1e-5 and frac.max() < 1.0 + 1e-5
