@@ -13,6 +13,7 @@ from .neighborlist import (  # noqa: F401
     batched_radius_neighbor_matrix,
     neighbor_matrix_to_edges,
     radius_neighbor_matrix,
+    configuration2term_list,
     suggest_capacity,
     wrap_positions,
 )

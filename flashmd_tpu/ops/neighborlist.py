@@ -220,6 +220,39 @@ def neighbor_matrix_to_edges(nm: NeighborMatrix) -> EdgeList:
     )
 
 
+def configuration2term_list(
+    pos,
+    rcut: float,
+    tag: str = "fully connected",
+    self_interaction: bool = False,
+):
+    """Host-side radius search -> order-2 :class:`TermList`.
+
+    Equivalent of the reference's ``atomic_data2neighbor_list``
+    (neighbor_list/neighbor_list.py:6-63): enumerate all directed pairs
+    within ``rcut`` of a single configuration and package them as a
+    static term list (e.g. to attach a pair prior). Runs on the host via
+    the native cell-list engine (flashmd_tpu.native).
+    """
+    import numpy as np
+
+    from ..data.system import TermList, make_term_list
+    from ..native import radius_pairs
+
+    src_idx, dst_idx = radius_pairs(np.asarray(pos, dtype=np.float64), rcut)
+    if self_interaction:
+        n = np.asarray(pos).shape[0]
+        eye = np.arange(n, dtype=np.int64)
+        src_idx = np.concatenate([src_idx, eye])
+        dst_idx = np.concatenate([dst_idx, eye])
+    return make_term_list(
+        np.stack([src_idx, dst_idx]),
+        tag=tag,
+        rcut=rcut,
+        self_interaction=self_interaction,
+    )
+
+
 def wrap_positions(pos: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
     """Wrap positions into the primary cell (fractional coords in [0, 1)).
 

@@ -151,3 +151,20 @@ def test_wrap_positions():
     w = np.asarray(wrap_positions(p, cell_t))
     frac = w @ np.linalg.inv(np.asarray(cell_t))
     assert frac.min() >= -1e-5 and frac.max() < 1.0 + 1e-5
+
+
+def test_configuration2term_list():
+    from flashmd_tpu.ops.neighborlist import configuration2term_list
+
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(0, 6, (30, 3))
+    tl = configuration2term_list(pos, rcut=2.0)
+    assert tl.order == 2 and tl.rcut == 2.0
+    idx = np.asarray(tl.index_mapping)
+    d = np.linalg.norm(pos[idx[1]] - pos[idx[0]], axis=-1)
+    assert np.all(d < 2.0)
+    # count matches brute force
+    dr = pos[None] - pos[:, None]
+    d2 = np.einsum("ijk,ijk->ij", dr, dr)
+    np.fill_diagonal(d2, np.inf)
+    assert idx.shape[1] == int((d2 < 4.0).sum())
