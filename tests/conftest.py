@@ -34,6 +34,11 @@ def pytest_addoption(parser):
         default=False,
         help="skip tests marked heavy",
     )
+    # CI sharding across containers (reference: conftest.py:4-48): run only
+    # the tests whose collection index i satisfies i % num_containers ==
+    # runner_idx.
+    parser.addoption("--runner_idx", type=int, default=None)
+    parser.addoption("--num_containers", type=int, default=None)
 
 
 def pytest_collection_modifyitems(config, items):
@@ -42,3 +47,14 @@ def pytest_collection_modifyitems(config, items):
         for item in items:
             if "heavy" in item.keywords:
                 item.add_marker(skip_heavy)
+    idx = config.getoption("--runner_idx")
+    n = config.getoption("--num_containers")
+    if n is not None:
+        if idx is None or not 0 <= idx < n:
+            raise pytest.UsageError(
+                "--runner_idx must be in [0, num_containers)"
+            )
+        skip_shard = pytest.mark.skip(reason="other CI shard")
+        for i, item in enumerate(items):
+            if i % n != idx:
+                item.add_marker(skip_shard)
