@@ -168,7 +168,7 @@ def _dtypes(precision: str):
     return compute_dtype, prec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def cheb_cfconv_apply(
     c,
     c2,
@@ -177,6 +177,7 @@ def cheb_cfconv_apply(
     x,
     rcut: float,
     precision: str = "bf16",
+    need_gx: bool = True,
 ):
     """Dense Chebyshev CFConv for one molecule.
 
@@ -186,8 +187,14 @@ def cheb_cfconv_apply(
     Custom VJP: the backward is another sweep of [A, A] matmuls built from
     the derivative coefficients ``c2`` — nothing per-order is stored, so
     memory stays O(A^2) regardless of the expansion order.
+
+    ``need_gx=False`` (static) drops the grad-wrt-x half of the backward
+    — for the FIRST interaction block the conv input derives from the
+    pos-independent embedding, so that cotangent path is dead and the
+    backward kernel can skip the entire scaled-chain family (~half its
+    work). Returned gx is zeros in that case.
     """
-    out, _ = _cheb_fwd(c, c2, w0, pos, x, rcut, precision)
+    out, _ = _cheb_fwd(c, c2, w0, pos, x, rcut, precision, need_gx)
     return out
 
 
@@ -224,7 +231,7 @@ def _cheb_forward_only(c, w0, z, x, precision):
     return out - w0[None, :] * x
 
 
-def _cheb_fwd(c, c2, w0, pos, x, rcut, precision):
+def _cheb_fwd(c, c2, w0, pos, x, rcut, precision, need_gx=True):
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_fwd_pallas
 
@@ -235,13 +242,13 @@ def _cheb_fwd(c, c2, w0, pos, x, rcut, precision):
     return out, (c, c2, w0, pos, x)
 
 
-def _cheb_bwd(rcut, precision, residuals, g):
+def _cheb_bwd(rcut, precision, need_gx, residuals, g):
     c, c2, w0, pos, x = residuals
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_bwd_pallas
 
         gpos, gx = cheb_conv_bwd_pallas(
-            c, c2, w0, pos, x, g, rcut, precision
+            c, c2, w0, pos, x, g, rcut, precision, need_gx=need_gx
         )
         return (
             jnp.zeros_like(c),
@@ -284,17 +291,20 @@ def _cheb_bwd(rcut, precision, residuals, g):
             precision=prec,
         )
 
-    gx = matvec_g(t_prev, 0) + matvec_g(t_cur, 1)
+    gx = None
+    if need_gx:
+        gx = matvec_g(t_prev, 0) + matvec_g(t_cur, 1)
     gd = p_prev * u_m(0) + p_cur * u_m(1)
     for m in range(2, c.shape[0]):
         t_next = two_z * t_cur - t_prev
         p_next = two_z * p_cur - p_prev
-        gx = gx + matvec_g(t_next, m)
+        if need_gx:
+            gx = gx + matvec_g(t_next, m)
         gd = gd + p_next * u_m(m)
         t_prev, t_cur = t_cur, t_next
         p_prev, p_cur = p_cur, p_next
 
-    gx = gx - w0[None, :] * g
+    gx = gx - w0[None, :] * g if need_gx else jnp.zeros_like(x)
 
     # Mask: derivative series only valid inside the cutoff; diagonal must
     # be exactly zero (u_ii = 0 but d_ii ~ 1e-6 would amplify noise).

@@ -320,14 +320,17 @@ def _schnet_atom_energies(
             )
         rcut = float(config.cutoff.cutoff_upper)
         prec = dot_precision(config.precision)
-        for bp in params["interactions"]:
+        for i, bp in enumerate(params["interactions"]):
             # Loop-invariant in the MD scan: XLA hoists the fit.
             c, c2, w0 = fit_chebyshev_filter(
                 bp, params["rbf"], config, order=config.cheb_order
             )
             h = jnp.dot(x, bp["lin1_w"], precision=prec)
+            # The first block's conv input derives from the embedding
+            # (no pos dependence), so its grad-wrt-x cotangent is dead:
+            # the backward kernel skips the scaled-chain family there.
             agg = cheb_cfconv_apply(
-                c, c2, w0, pos, h, rcut, config.precision
+                c, c2, w0, pos, h, rcut, config.precision, i > 0
             )
             y = jnp.dot(agg, bp["lin2_w"], precision=prec) + bp["lin2_b"]
             x = x + (

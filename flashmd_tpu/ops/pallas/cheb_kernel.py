@@ -46,15 +46,20 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _tile_atoms(a_pad: int, budget: int) -> int:
-    """Destination-tile rows: whole molecule when it fits, else sized so
-    the stacked chain carries stay inside the 16 MB scoped-VMEM limit.
+    """Destination-tile rows sized so the stacked chain carries stay
+    inside the 16 MB scoped-VMEM limit.
+
     `budget` is TA*A_pad elements per [n*TA, A_pad] carry; the backward
     kernel holds ~2x the forward's carries (Ttil + plain chains), so it
-    passes half the budget."""
-    if a_pad <= 288:
+    passes half the budget. The tile count is chosen first and TA derived
+    from it, so a_pad is never rounded up by more than one 8-row step
+    (e.g. a_pad=272 with ta_max=264 tiles as 2x136, not 1x264-padded-528).
+    """
+    ta_max = max(8, (budget // a_pad) // 8 * 8)
+    if ta_max >= a_pad:
         return a_pad
-    ta = max(8, (budget // a_pad) // 8 * 8)
-    return min(ta, a_pad)
+    n_tiles = -(-a_pad // ta_max)  # ceil
+    return _round_up(-(-a_pad // n_tiles), 8)
 
 
 def _pad_atoms(arr, a_pad, fill=0):
@@ -195,7 +200,7 @@ def _cheb_fwd_kernel(
 
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, gpos_ref, gx_ref,
-    *, order, rcut, a_pad, a_real, ta, compute_dtype,
+    *, order, rcut, a_pad, a_real, ta, compute_dtype, need_gx=True,
 ):
     n = N_CHAINS
     assert order % (2 * n) == 0 and order >= 2 * n
@@ -216,7 +221,10 @@ def _cheb_bwd_kernel(
         pos, pos_tile, rcut, a_pad, a_real, ta, t
     )
     u2 = jnp.square(1.0 - z)
-    tt, q = _chain_seeds(z, u2, n)
+    # When gx is not needed (first interaction block: the conv input is
+    # the pos-independent embedding) the scaled Ttil chains are entirely
+    # unused — only the plain chains driving the distance gradient run.
+    tt, q = _chain_seeds(z, u2, n) if need_gx else (None, 2.0 * _plain_t(z, n))
     pp = _plain_seeds(z, n)
     qs = jnp.concatenate([q] * n, axis=0)
 
@@ -247,34 +255,51 @@ def _cheb_bwd_kernel(
             acc = acc + prod[cch * ta:(cch + 1) * ta]
         return acc
 
-    ts_prev = jnp.concatenate(tt[0:n], axis=0)
-    ts_cur = jnp.concatenate(tt[n:2 * n], axis=0)
     ps_prev = jnp.concatenate(pp[0:n], axis=0)
     ps_cur = jnp.concatenate(pp[n:2 * n], axis=0)
-    gx_acc = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
     gd = chain_gd(ps_prev, 0) + chain_gd(ps_cur, n)
 
-    # Double-stepped for the same carry-copy reason as the forward.
-    def body(i, carry):
-        ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd = carry
-        m = 2 * n * i + 2 * n
-        ts1 = qs * ts_cur - ts_prev
-        ps1 = qs * ps_cur - ps_prev
-        gx_acc = gx_acc + chain_gx(ts1, m)
-        gd = gd + chain_gd(ps1, m)
-        ts2 = qs * ts1 - ts_cur
-        ps2 = qs * ps1 - ps_cur
-        gx_acc = gx_acc + chain_gx(ts2, m + n)
-        gd = gd + chain_gd(ps2, m + n)
-        return (ts1, ts2, ps1, ps2, gx_acc, gd)
+    if need_gx:
+        ts_prev = jnp.concatenate(tt[0:n], axis=0)
+        ts_cur = jnp.concatenate(tt[n:2 * n], axis=0)
+        gx_acc = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
 
-    carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd)
-    carry = jax.lax.fori_loop(0, (order - 2 * n) // (2 * n), body, carry)
-    gx_acc, gd = carry[-2], carry[-1]
+        # Double-stepped for the same carry-copy reason as the forward.
+        def body(i, carry):
+            ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd = carry
+            m = 2 * n * i + 2 * n
+            ts1 = qs * ts_cur - ts_prev
+            ps1 = qs * ps_cur - ps_prev
+            gx_acc = gx_acc + chain_gx(ts1, m)
+            gd = gd + chain_gd(ps1, m)
+            ts2 = qs * ts1 - ts_cur
+            ps2 = qs * ps1 - ps_cur
+            gx_acc = gx_acc + chain_gx(ts2, m + n)
+            gd = gd + chain_gd(ps2, m + n)
+            return (ts1, ts2, ps1, ps2, gx_acc, gd)
 
-    gx_ref[0] += gx_acc
-    # self-pair subtraction contributes only to this tile's rows
-    gx_ref[0, pl.ds(t * ta, ta), :] += -(w0_ref[:] * g)
+        carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd)
+        carry = jax.lax.fori_loop(
+            0, (order - 2 * n) // (2 * n), body, carry
+        )
+        gx_acc, gd = carry[-2], carry[-1]
+
+        gx_ref[0] += gx_acc
+        # self-pair subtraction contributes only to this tile's rows
+        gx_ref[0, pl.ds(t * ta, ta), :] += -(w0_ref[:] * g)
+    else:
+        def body(i, carry):
+            ps_prev, ps_cur, gd = carry
+            m = 2 * n * i + 2 * n
+            ps1 = qs * ps_cur - ps_prev
+            gd = gd + chain_gd(ps1, m)
+            ps2 = qs * ps1 - ps_cur
+            gd = gd + chain_gd(ps2, m + n)
+            return (ps1, ps2, gd)
+
+        gd = jax.lax.fori_loop(
+            0, (order - 2 * n) // (2 * n), body, (ps_prev, ps_cur, gd)
+        )[-1]
 
     # ---- distance gradient -> position gradient, row and column sides
     keep = (d < rcut) & (rows != cols) & ~is_pad
@@ -336,19 +361,24 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
     return out[0, :a]
 
 
-def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision):
-    """Backward kernel wrapper -> (gpos [A,3], gx [A,F])."""
+def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
+                         need_gx=True):
+    """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
+
+    ``need_gx=False`` specializes the kernel to the distance gradient
+    only (gx returned as zeros) — the scaled-chain family never runs.
+    """
     a = pos.shape[0]
     f = x.shape[-1]
     order = c.shape[0]
     a_pad = _round_up(a, 8)
-    ta = _tile_atoms(a_pad, 72_000)
+    ta = _tile_atoms(a_pad, 72_000 if need_gx else 150_000)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _cheb_bwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
-        a_real=a, ta=ta, compute_dtype=compute_dtype,
+        a_real=a, ta=ta, compute_dtype=compute_dtype, need_gx=need_gx,
     )
     gpos, gx = pl.pallas_call(
         kernel,
