@@ -18,6 +18,7 @@ from flashmd_tpu.models.forcefield import ForceField, build_neighbors
 from flashmd_tpu.models.schnet import SchNetConfig, init_schnet, schnet_energy
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("seed", range(6))
 def test_cheb_tracks_exact_path(seed):
     rng = np.random.default_rng(seed)
