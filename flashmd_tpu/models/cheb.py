@@ -150,6 +150,137 @@ def fit_chebyshev_filter(
     return c, c2, w0
 
 
+def _cutoff_np(cut, d):
+    """float64 numpy mirror of the cutoff __call__ formulas
+    (models/cutoff.py) for the host-side fit."""
+    import numpy as np
+
+    from .cutoff import CosineCutoff, IdentityCutoff, ShiftedCosineCutoff
+
+    if isinstance(cut, IdentityCutoff):
+        return np.ones_like(d)
+    if isinstance(cut, CosineCutoff):
+        if cut.cutoff_lower > 0:
+            c = 0.5 * (
+                np.cos(
+                    np.pi
+                    * (
+                        2
+                        * (d - cut.cutoff_lower)
+                        / (cut.cutoff_upper - cut.cutoff_lower)
+                        + 1.0
+                    )
+                )
+                + 1.0
+            )
+            return c * (d < cut.cutoff_upper) * (d > cut.cutoff_lower)
+        return (
+            0.5 * (np.cos(d * np.pi / cut.cutoff_upper) + 1.0)
+            * (d < cut.cutoff_upper)
+        )
+    if isinstance(cut, ShiftedCosineCutoff):
+        smooth = 0.5 + 0.5 * np.cos(
+            np.pi
+            * (d - cut.cutoff_upper + cut.smooth_width)
+            / cut.smooth_width
+        )
+        c = np.where(d > cut.cutoff_upper - cut.smooth_width, smooth, 1.0)
+        return np.where(d > cut.cutoff_upper, 0.0, c)
+    raise NotImplementedError(f"host fit: unsupported cutoff {cut!r}")
+
+
+def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
+                              n_nodes=512):
+    """float64 host-side version of :func:`fit_chebyshev_filter`.
+
+    The in-jit fit evaluates the filter MLP with the accelerator's
+    transcendental approximations (TPU exp/tanh are hardware
+    approximations), which bakes ~1e-3-level noise into the
+    coefficients. Computing the fit once on the host in float64 at
+    model-attach time removes that floor (and the redundant per-compile
+    fit work). The derivative series uses float64 central differences
+    (h = 1e-6 -> ~1e-9 relative error, far below f32 storage).
+
+    Returns float32 (c [M, F], c2 [M, F], w0 [F]) ready to feed the
+    kernels.
+    """
+    import numpy as np
+
+    rcut = float(config.cutoff.cutoff_upper)
+    k = np.arange(n_nodes, dtype=np.float64)
+    z = np.cos(np.pi * (k + 0.5) / n_nodes)
+    d = (z + 1.0) * (rcut / 2.0)
+    u = 1.0 - z
+
+    offset = np.asarray(rbf_params["offset"], dtype=np.float64)
+    coeff = np.float64(np.asarray(rbf_params["coeff"]))
+    layers = [
+        {
+            kk: np.asarray(vv, dtype=np.float64)
+            for kk, vv in layer.items()
+        }
+        for layer in block_params["filter"]["layers"]
+    ]
+    if config.activation != "tanh":
+        raise NotImplementedError(
+            "host fit supports tanh filter activations"
+        )
+
+    def w_of_d(dd):
+        rbf = np.exp(coeff * np.square(dd[:, None] - offset[None, :]))
+        rbf = rbf * _cutoff_np(config.rbf_config.cutoff, dd)[:, None]
+        x = rbf
+        for layer in layers[:-1]:
+            x = np.tanh(x @ layer["w"] + layer.get("b", 0.0))
+        last = layers[-1]
+        return x @ last["w"] + last.get("b", 0.0)
+
+    w = w_of_d(d)  # [N, F]
+    sinc = np.sinc(u / 4.0)
+    h = w * ((np.pi / 4.0) ** 2 * sinc * sinc)[:, None]
+
+    m = np.arange(order, dtype=np.float64)
+    tmk = np.cos(m[:, None] * np.pi * (k[None, :] + 0.5) / n_nodes)
+    c = (2.0 / n_nodes) * (tmk @ h)
+    c[0] *= 0.5
+
+    eps = 1e-6
+    conv = _cutoff_np(config.cutoff, d)
+    conv_p = _cutoff_np(config.cutoff, d + eps)
+    conv_m = _cutoff_np(config.cutoff, d - eps)
+    wp = w_of_d(d + eps) * conv_p[:, None]
+    wm = w_of_d(d - eps) * conv_m[:, None]
+    dwdd = (wp - wm) / (2.0 * eps)
+    c2 = (2.0 / n_nodes) * (tmk @ dwdd)
+    c2[0] *= 0.5
+
+    signs = np.where(np.arange(order) % 2 == 0, 1.0, -1.0)
+    w0 = 4.0 * (signs @ c)
+    return (
+        jnp.asarray(c, jnp.float32),
+        jnp.asarray(c2, jnp.float32),
+        jnp.asarray(w0, jnp.float32),
+    )
+
+
+def attach_cheb_fit(params, config):
+    """Return a copy of the SchNet params with float64-host-fitted
+    Chebyshev coefficients injected under ``params["cheb_fit"]``.
+
+    The cheb dispatch in models/schnet.py uses these when present (and
+    when their order matches ``config.cheb_order``) instead of fitting
+    inside jit with accelerator transcendentals. Called at model-attach
+    time (simulation/base.py).
+    """
+    fits = tuple(
+        fit_chebyshev_filter_host(
+            bp, params["rbf"], config, order=config.cheb_order
+        )
+        for bp in params["interactions"]
+    )
+    return {**params, "cheb_fit": fits}
+
+
 def _pair_z(pos, rcut):
     rel = pos[None, :, :] - pos[:, None, :]  # [A, A, 3]
     d2 = jnp.sum(rel * rel, axis=-1)
@@ -159,13 +290,10 @@ def _pair_z(pos, rcut):
 
 
 def _dtypes(precision: str):
+    from .mlp import dot_precision
+
     compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if precision == "fp32"
-        else jax.lax.Precision.DEFAULT
-    )
-    return compute_dtype, prec
+    return compute_dtype, dot_precision(precision)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

@@ -66,15 +66,24 @@ def init_mlp(
     return {"layers": layers}
 
 
+PRECISIONS = ("fp32", "bf16", "bf16x3")
+
+
 def dot_precision(precision: str):
-    """Matmul precision policy: fp32 mode means TRUE fp32 (the TPU default
-    truncates f32 matmul operands to bf16, which would silently degrade the
-    reference-parity path); bf16 mode uses the native fast path."""
-    return (
-        jax.lax.Precision.HIGHEST
-        if precision == "fp32"
-        else jax.lax.Precision.DEFAULT
-    )
+    """Matmul precision policy.
+
+    * ``fp32``: TRUE fp32 (HIGHEST — the TPU default truncates f32 matmul
+      operands to bf16, which would silently degrade the reference-parity
+      path).
+    * ``bf16``: native fast path, one MXU pass (the W16A16 analog).
+    * ``bf16x3``: three-pass bf16 (HIGH) — ~fp32-quality operands at
+      roughly a third of the fp32 cost; the fidelity/speed middle tier.
+    """
+    if precision == "fp32":
+        return jax.lax.Precision.HIGHEST
+    if precision == "bf16x3":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.DEFAULT
 
 
 def _dense(x, layer, precision: str):
@@ -86,7 +95,11 @@ def _dense(x, layer, precision: str):
             preferred_element_type=jnp.float32,
         )
     else:
-        y = jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
+        y = jnp.dot(
+            x, w,
+            preferred_element_type=jnp.float32,
+            precision=dot_precision(precision),
+        )
     if "b" in layer:
         y = y + layer["b"].astype(y.dtype)
     return y

@@ -320,11 +320,23 @@ def _schnet_atom_energies(
             )
         rcut = float(config.cutoff.cutoff_upper)
         prec = dot_precision(config.precision)
+        fits = params.get("cheb_fit")
+        if fits is not None and (
+            fits[0][0].shape[0] != config.cheb_order
+        ):
+            fits = None  # stale precompute (order changed): refit in-jit
         for i, bp in enumerate(params["interactions"]):
-            # Loop-invariant in the MD scan: XLA hoists the fit.
-            c, c2, w0 = fit_chebyshev_filter(
-                bp, params["rbf"], config, order=config.cheb_order
-            )
+            if fits is not None:
+                # float64 host-side fit injected at attach time
+                # (models/cheb.py attach_cheb_fit) — avoids baking the
+                # accelerator's transcendental approximations into the
+                # coefficients.
+                c, c2, w0 = fits[i]
+            else:
+                # Loop-invariant in the MD scan: XLA hoists the fit.
+                c, c2, w0 = fit_chebyshev_filter(
+                    bp, params["rbf"], config, order=config.cheb_order
+                )
             h = jnp.dot(x, bp["lin1_w"], precision=prec)
             # The first block's conv input derives from the embedding
             # (no pos dependence), so its grad-wrt-x cotangent is dead:

@@ -174,7 +174,7 @@ def cgschnet_1enh_like(
         # Order 96 puts the bf16 path's force error (~7e-3) well below a
         # straight 16-bit-quantized exact-MLP evaluation (~4e-2 on this
         # model); fp32 parity runs use the full order (~1e-4).
-        cheb_order=cheb_order or (96 if precision == "bf16" else 128),
+        cheb_order=cheb_order or (96 if precision.startswith("bf16") else 128),
     )
     params = init_schnet(jax.random.PRNGKey(seed), config)
 

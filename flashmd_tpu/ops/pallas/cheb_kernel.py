@@ -138,17 +138,51 @@ def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
     return d, z, is_pad
 
 
-def _prec_of(compute_dtype):
-    return (
-        jax.lax.Precision.HIGHEST
-        if compute_dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _mxu_dot(a, b, precision, dims=(((1,), (0,)), ((), ()))):
+    """Matmul at the requested precision tier.
+
+    Mosaic cannot lower ``Precision.HIGH``, so the bf16x3 middle tier is
+    emulated as three DEFAULT passes over hi/lo bf16 operand splits
+    (hi@hi + lo@hi + hi@lo) — ~fp32-quality operands at half the cost of
+    the 6-pass HIGHEST ("fp32") tier.
+    """
+    if precision == "bf16x3":
+        a_hi, a_lo = _split_bf16(a)
+        b_hi, b_lo = _split_bf16(b)
+
+        def f(l, r):
+            return jax.lax.dot_general(
+                l, r, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+
+        return f(a_hi, b_hi) + f(a_lo, b_hi) + f(a_hi, b_lo)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dims,
+        preferred_element_type=jnp.float32, precision=_prec_of(precision),
     )
+
+
+def _prec_of(precision):
+    """MXU precision: fp32 -> HIGHEST (6-pass exact), bf16x3 -> HIGH
+    (3-pass, ~fp32-quality operands), bf16 -> DEFAULT (1 pass; f32
+    values feed the MXU directly and are truncated in hardware)."""
+    if precision == "fp32":
+        return jax.lax.Precision.HIGHEST
+    if precision == "bf16x3":
+        return jax.lax.Precision.HIGH
+    return jax.lax.Precision.DEFAULT
 
 
 def _cheb_fwd_kernel(
     pos_ref, x_ref, c_ref, w0_ref, out_ref,
-    *, order, rcut, a_pad, a_real, ta, compute_dtype,
+    *, order, rcut, a_pad, a_real, ta, precision,
 ):
     n = N_CHAINS
     assert order % (2 * n) == 0 and order >= 2 * n
@@ -156,7 +190,6 @@ def _cheb_fwd_kernel(
     pos = pos_ref[0]
     pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
     x = x_ref[0]
-    prec = _prec_of(compute_dtype)
 
     _, z, _, _, _ = _tile_geometry(
         pos, pos_tile, rcut, a_pad, a_real, ta, t
@@ -168,9 +201,7 @@ def _cheb_fwd_kernel(
     qs = jnp.concatenate([q] * n, axis=0)
 
     def chain_matvec(stacked, m):
-        p = jnp.dot(
-            stacked, x, preferred_element_type=jnp.float32, precision=prec
-        )
+        p = _mxu_dot(stacked, x, precision)
         acc = c_ref[pl.ds(m, 1), :] * p[0:ta]
         for cch in range(1, n):
             acc = acc + (
@@ -200,7 +231,7 @@ def _cheb_fwd_kernel(
 
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, gpos_ref, gx_ref,
-    *, order, rcut, a_pad, a_real, ta, compute_dtype, need_gx=True,
+    *, order, rcut, a_pad, a_real, ta, precision, need_gx=True,
 ):
     n = N_CHAINS
     assert order % (2 * n) == 0 and order >= 2 * n
@@ -215,7 +246,6 @@ def _cheb_bwd_kernel(
     pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
     x = x_ref[0]
     g = g_ref[0]  # [TA, F] — this tile's cotangent rows
-    prec = _prec_of(compute_dtype)
 
     d, z, rows, cols, is_pad = _tile_geometry(
         pos, pos_tile, rcut, a_pad, a_real, ta, t
@@ -234,20 +264,16 @@ def _cheb_bwd_kernel(
         rhs = jnp.concatenate(
             [c_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
         )  # [n*TA, F]
-        return jax.lax.dot_general(
-            stacked,
-            rhs,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec,
+        return _mxu_dot(
+            stacked, rhs, precision, dims=(((0,), (0,)), ((), ()))
         )
 
     def chain_gd(p_stacked, m):
         rhs = jnp.concatenate(
             [c2_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
         )  # [n*TA, F]
-        u = jnp.dot(
-            rhs, x.T, preferred_element_type=jnp.float32, precision=prec
+        u = _mxu_dot(
+            rhs, x, precision, dims=(((1,), (1,)), ((), ()))
         )  # [n*TA, A_pad]
         prod = p_stacked * u
         acc = prod[0:ta]
@@ -331,10 +357,9 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
     ta = _tile_atoms(a_pad, 150_000)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
-    compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _cheb_fwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
-        a_real=a, ta=ta, compute_dtype=compute_dtype,
+        a_real=a, ta=ta, precision=precision,
     )
     out = pl.pallas_call(
         kernel,
@@ -375,10 +400,9 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     ta = _tile_atoms(a_pad, 72_000 if need_gx else 150_000)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
-    compute_dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     kernel = functools.partial(
         _cheb_bwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
-        a_real=a, ta=ta, compute_dtype=compute_dtype, need_gx=need_gx,
+        a_real=a, ta=ta, precision=precision, need_gx=need_gx,
     )
     gpos, gx = pl.pallas_call(
         kernel,

@@ -340,6 +340,22 @@ class Simulation:
             )
         if self.neighbor_capacity is not None:
             model = model.replace(neighbor_capacity=self.neighbor_capacity)
+        if (
+            model.schnet_config is not None
+            and model.schnet_config.message_passing in ("cheb", "cheb_fused")
+            and model.schnet_params is not None
+            and "cheb_fit" not in model.schnet_params
+        ):
+            # Precompute the Chebyshev filter fits on the host in float64
+            # (models/cheb.py): accelerator transcendental approximations
+            # would otherwise bake ~1e-3 noise into the coefficients.
+            from ..models.cheb import attach_cheb_fit
+
+            model = model.replace(
+                schnet_params=attach_cheb_fit(
+                    model.schnet_params, model.schnet_config
+                )
+            )
         self.model = model
 
     def _attach_configurations(
