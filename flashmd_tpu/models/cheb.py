@@ -107,15 +107,22 @@ def fit_chebyshev_filter(
     """Fit the filter and its distance derivative; return (c, c2, W'(0)).
 
     * ``c`` [M, F]:  W'(d) ~= (1-z)^2 sum_m c[m] T_m(z)
-    * ``c2`` [M, F]: dW'/dd(d) ~= sum_m c2[m] T_m(z)  (valid for d < rcut;
-      the backward masks d >= rcut explicitly)
+    * ``c2`` [M, F]: dW'/dd(d) ~= (1-z) sum_m c2[m] T_m(z)
     * ``w0`` [F]:    W'(0), for the exact self-pair subtraction.
+
+    The derivative series lives on the (1-z) T_m basis: dW'/dd has an
+    exact simple zero at the cutoff (W' = (1-z)^2 h), so factoring one
+    (1-z) out keeps beyond-cutoff pairs exactly zero AND lets the
+    backward kernel derive the scaled gx chain (1-z)^2 T_m from the SAME
+    recurrence state by one elementwise multiply — one chain family
+    instead of two (see ops/pallas/cheb_kernel._cheb_bwd_kernel).
 
     Evaluates the exact composed filter (Gaussian RBF including its basis
     cutoff, the filter MLP, and the conv cutoff — reference semantics from
-    schnet.py:643-715) at Chebyshev nodes; the derivative comes from
-    forward-mode autodiff of the same composition. ``n_nodes >> order``
-    kills aliasing.
+    schnet.py:643-715) at Chebyshev nodes; the MLP derivative comes from
+    forward-mode autodiff, the conv-cutoff derivative is analytic (the
+    cheb path requires a plain CosineCutoff). ``n_nodes >> order`` kills
+    aliasing.
     """
     from .radial_basis import gaussian_basis_apply
 
@@ -137,12 +144,21 @@ def fit_chebyshev_filter(
     h = w * _cut_over_u2(u)[:, None]  # [N, F] = W' / (1-z)^2
     c = _project(h, order, n_nodes)
 
-    # dW'/dd at the nodes via forward-mode autodiff of MLP(rbf(d)) * cut(d).
-    def wprime_scalar(dd):
-        return w_of_d(dd[None])[0] * config.cutoff(dd)
+    # dW'/dd on the (1-z) T_m basis. With M(d) = MLP(rbf(d)) and the
+    # cosine cutoff cut = sin^2(pi u / 4):
+    #   dW'/dd / (1-z) = M'(d) u (pi/4)^2 sinc^2(u/4)
+    #                    - M(d) (pi^2 / (4 rcut)) sinc(u/2)
+    # (both factors regular at u -> 0, unlike dividing the raw derivative
+    # by u at near-edge Chebyshev nodes).
+    def m_scalar(dd):
+        return w_of_d(dd[None])[0]
 
-    dwdd = jax.vmap(jax.jacfwd(wprime_scalar))(d)  # [N, F]
-    c2 = _project(dwdd, order, n_nodes)
+    dm = jax.vmap(jax.jacfwd(m_scalar))(d)  # [N, F]
+    h2 = (
+        dm * (u * _cut_over_u2(u))[:, None]
+        - w * ((math.pi**2 / (4.0 * rcut)) * jnp.sinc(u / 2.0))[:, None]
+    )
+    c2 = _project(h2, order, n_nodes)
 
     # Exact self-pair value W'(z=-1) = (1-(-1))^2 sum_m c_m T_m(-1).
     signs = jnp.where(jnp.arange(order) % 2 == 0, 1.0, -1.0)
@@ -244,14 +260,17 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
     c = (2.0 / n_nodes) * (tmk @ h)
     c[0] *= 0.5
 
+    # Derivative series on the (1-z) T_m basis (see fit_chebyshev_filter):
+    # only the MLP factor M(d) is differenced; the conv-cutoff part is
+    # analytic, so nothing singular is divided near u -> 0.
     eps = 1e-6
-    conv = _cutoff_np(config.cutoff, d)
-    conv_p = _cutoff_np(config.cutoff, d + eps)
-    conv_m = _cutoff_np(config.cutoff, d - eps)
-    wp = w_of_d(d + eps) * conv_p[:, None]
-    wm = w_of_d(d - eps) * conv_m[:, None]
-    dwdd = (wp - wm) / (2.0 * eps)
-    c2 = (2.0 / n_nodes) * (tmk @ dwdd)
+    dm = (w_of_d(d + eps) - w_of_d(d - eps)) / (2.0 * eps)
+    sinc_half = np.sinc(u / 2.0)
+    h2 = (
+        dm * (u * (np.pi / 4.0) ** 2 * sinc * sinc)[:, None]
+        - w * ((np.pi**2 / (4.0 * rcut)) * sinc_half)[:, None]
+    )
+    c2 = (2.0 / n_nodes) * (tmk @ h2)
     c2[0] *= 0.5
 
     signs = np.where(np.arange(order) % 2 == 0, 1.0, -1.0)
@@ -395,8 +414,9 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
 
     # ---- grad wrt x: gx = sum_m Ttil_m @ (c_m ⊙ g) - w0 ⊙ g
     # (Ttil_m is symmetric: z_ij = z_ji).
-    # ---- grad wrt d: gd_ij = sum_m T_m(z_ij) * U_m[i, j], masked to
-    # d < rcut, with U_m = (g ⊙ c2_m) @ x^T.
+    # ---- grad wrt d: gd_ij = (1 - z_ij) sum_m T_m(z_ij) * U_m[i, j]
+    # (c2 lives on the (1-z) T_m basis — exactly zero beyond the cutoff),
+    # with U_m = (g ⊙ c2_m) @ x^T.
     # Recurrence states stay fp32 (see _cheb_forward_only).
     t_prev = u2
     t_cur = u2 * z
@@ -434,9 +454,11 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
 
     gx = gx - w0[None, :] * g if need_gx else jnp.zeros_like(x)
 
-    # Mask: derivative series only valid inside the cutoff; diagonal must
-    # be exactly zero (u_ii = 0 but d_ii ~ 1e-6 would amplify noise).
+    # The (1-z) basis factor zeroes beyond-cutoff pairs exactly (z clamps
+    # at 1); the diagonal is masked explicitly (u_ii != 0 there and
+    # d_ii ~ 1e-6 would amplify noise).
     eye = jnp.eye(a, dtype=bool)
+    gd = (1.0 - z) * gd
     gd = jnp.where((d < rcut) & ~eye, gd, 0.0)
 
     # grad wrt positions: dd_ij/dpos_j = u_ij = (pos_j - pos_i)/d_ij.

@@ -95,9 +95,13 @@ def _dense(x, layer, precision: str):
             preferred_element_type=jnp.float32,
         )
     else:
+        # Accumulate in at least f32, but never downcast f64 inputs (the
+        # checkpoint fidelity tests evaluate the whole model in f64).
+        acc = jnp.promote_types(jnp.promote_types(x.dtype, w.dtype),
+                                jnp.float32)
         y = jnp.dot(
             x, w,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc,
             precision=dot_precision(precision),
         )
     if "b" in layer:

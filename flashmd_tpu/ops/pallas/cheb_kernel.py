@@ -12,9 +12,11 @@ coefficient tables and the [A, F] results.
 
 Forward:
     out = sum_m c_m ⊙ (Ttil_m(Z) @ x) - W'(0) ⊙ x
-Backward (derivation in models/cheb.py): per destination tile R,
-    gx   += sum_m Ttil_m[R, :]^T @ (c_m ⊙ g[R])
-    gd_R  = sum_m T_m(Z[R, :]) ⊙ ((c2_m ⊙ g[R]) @ x^T)
+Backward (derivation in models/cheb.py): per destination tile R, ONE
+chain family That_m = (1-Z) T_m(Z) drives both gradient halves (the
+derivative series c2 lives on the (1-Z) T_m basis),
+    gx   += sum_m (U ⊙ That_m)[R, :]^T @ (c_m ⊙ g[R])      (Ttil = U ⊙ That)
+    gd_R  = sum_m That_m(Z[R, :]) ⊙ ((c2_m ⊙ g[R]) @ x^T)
     row side:    gpos[R] += pos[R] ⊙ rowsum(W_R) - W_R @ pos
     column side: gpos    += pos ⊙ colsum(W_R)^T - W_R^T @ pos[R]
 with W_R = gd_R / d_R masked to d < rcut, off-diagonal, non-padding.
@@ -29,11 +31,22 @@ precision — no explicit cast passes).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    """Interpreter-mode pallas_call for CPU test runs.
+
+    The model-level dispatch (models/cheb._use_pallas) routes to the pure
+    jnp path under FLASHMD_PALLAS_INTERPRET; the kernel tests call these
+    wrappers DIRECTLY so the Pallas code itself is exercised on every CI
+    run (the reference never unit-tests its Triton kernels — SURVEY §4)."""
+    return os.environ.get("FLASHMD_PALLAS_INTERPRET", "0") == "1"
 
 N_CHAINS = 4
 
@@ -50,8 +63,8 @@ def _tile_atoms(a_pad: int, budget: int) -> int:
     inside the 16 MB scoped-VMEM limit.
 
     `budget` is TA*A_pad elements per [n*TA, A_pad] carry; the backward
-    kernel holds ~2x the forward's carries (Ttil + plain chains), so it
-    passes half the budget. The tile count is chosen first and TA derived
+    kernel holds one more stacked buffer (the U factor) plus an extra
+    temporary, so it passes a smaller budget. The tile count is chosen first and TA derived
     from it, so a_pad is never rounded up by more than one 8-row step
     (e.g. a_pad=272 with ta_max=264 tiles as 2x136, not 1x264-padded-528).
     """
@@ -250,61 +263,62 @@ def _cheb_bwd_kernel(
     d, z, rows, cols, is_pad = _tile_geometry(
         pos, pos_tile, rcut, a_pad, a_real, ta, t
     )
-    u2 = jnp.square(1.0 - z)
-    # When gx is not needed (first interaction block: the conv input is
-    # the pos-independent embedding) the scaled Ttil chains are entirely
-    # unused — only the plain chains driving the distance gradient run.
-    tt, q = _chain_seeds(z, u2, n) if need_gx else (None, 2.0 * _plain_t(z, n))
+    # ONE chain family: That_m = (1-z) T_m(z). The distance gradient
+    # reads it directly (c2 lives on the (1-z) T_m basis) and the gx
+    # side's Ttil_m = (1-z)^2 T_m = u ⊙ That_m is derived per order by
+    # one elementwise multiply — vs running a second recurrence (halves
+    # the carry state, so tiles grow and fewer passes over x are made).
+    u = 1.0 - z  # [TA, A_pad]; exactly 0 beyond the cutoff and padding
     pp = _plain_seeds(z, n)
+    q = 2.0 * _plain_t(z, n)
+    us = jnp.concatenate([u] * n, axis=0)  # [n*TA, A_pad]
     qs = jnp.concatenate([q] * n, axis=0)
+    hs_prev = us * jnp.concatenate(pp[0:n], axis=0)  # That_0..That_{n-1}
+    hs_cur = us * jnp.concatenate(pp[n:2 * n], axis=0)
 
-    def chain_gx(stacked, m):
+    def chain_gx(h_stacked, m):
         # sum_c Ttil_c[R,:]^T @ (c ⊙ g[R]): one dot_general contracting
-        # the stacked row axis of both sides.
+        # the stacked row axis of both sides; Ttil = u ⊙ That.
         rhs = jnp.concatenate(
             [c_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
         )  # [n*TA, F]
         return _mxu_dot(
-            stacked, rhs, precision, dims=(((0,), (0,)), ((), ()))
+            us * h_stacked, rhs, precision, dims=(((0,), (0,)), ((), ()))
         )
 
-    def chain_gd(p_stacked, m):
+    def chain_gd(h_stacked, m):
         rhs = jnp.concatenate(
             [c2_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
         )  # [n*TA, F]
-        u = _mxu_dot(
+        um = _mxu_dot(
             rhs, x, precision, dims=(((1,), (1,)), ((), ()))
         )  # [n*TA, A_pad]
-        prod = p_stacked * u
+        prod = h_stacked * um
         acc = prod[0:ta]
         for cch in range(1, n):
             acc = acc + prod[cch * ta:(cch + 1) * ta]
         return acc
 
-    ps_prev = jnp.concatenate(pp[0:n], axis=0)
-    ps_cur = jnp.concatenate(pp[n:2 * n], axis=0)
-    gd = chain_gd(ps_prev, 0) + chain_gd(ps_cur, n)
+    gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
 
     if need_gx:
-        ts_prev = jnp.concatenate(tt[0:n], axis=0)
-        ts_cur = jnp.concatenate(tt[n:2 * n], axis=0)
-        gx_acc = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
+        gx_acc = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
 
-        # Double-stepped for the same carry-copy reason as the forward.
+        # Double-stepped so the carries return in the SAME positions (a
+        # permuted carry layout makes Mosaic insert whole-buffer copies
+        # every iteration — measured 25% of kernel time).
         def body(i, carry):
-            ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd = carry
+            hs_prev, hs_cur, gx_acc, gd = carry
             m = 2 * n * i + 2 * n
-            ts1 = qs * ts_cur - ts_prev
-            ps1 = qs * ps_cur - ps_prev
-            gx_acc = gx_acc + chain_gx(ts1, m)
-            gd = gd + chain_gd(ps1, m)
-            ts2 = qs * ts1 - ts_cur
-            ps2 = qs * ps1 - ps_cur
-            gx_acc = gx_acc + chain_gx(ts2, m + n)
-            gd = gd + chain_gd(ps2, m + n)
-            return (ts1, ts2, ps1, ps2, gx_acc, gd)
+            h1 = qs * hs_cur - hs_prev
+            gx_acc = gx_acc + chain_gx(h1, m)
+            gd = gd + chain_gd(h1, m)
+            h2 = qs * h1 - hs_cur
+            gx_acc = gx_acc + chain_gx(h2, m + n)
+            gd = gd + chain_gd(h2, m + n)
+            return (h1, h2, gx_acc, gd)
 
-        carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx_acc, gd)
+        carry = (hs_prev, hs_cur, gx_acc, gd)
         carry = jax.lax.fori_loop(
             0, (order - 2 * n) // (2 * n), body, carry
         )
@@ -314,17 +328,19 @@ def _cheb_bwd_kernel(
         # self-pair subtraction contributes only to this tile's rows
         gx_ref[0, pl.ds(t * ta, ta), :] += -(w0_ref[:] * g)
     else:
+        # First interaction block: the conv input is the pos-independent
+        # embedding, so the gx cotangent path is dead — only gd runs.
         def body(i, carry):
-            ps_prev, ps_cur, gd = carry
+            hs_prev, hs_cur, gd = carry
             m = 2 * n * i + 2 * n
-            ps1 = qs * ps_cur - ps_prev
-            gd = gd + chain_gd(ps1, m)
-            ps2 = qs * ps1 - ps_cur
-            gd = gd + chain_gd(ps2, m + n)
-            return (ps1, ps2, gd)
+            h1 = qs * hs_cur - hs_prev
+            gd = gd + chain_gd(h1, m)
+            h2 = qs * h1 - hs_cur
+            gd = gd + chain_gd(h2, m + n)
+            return (h1, h2, gd)
 
         gd = jax.lax.fori_loop(
-            0, (order - 2 * n) // (2 * n), body, (ps_prev, ps_cur, gd)
+            0, (order - 2 * n) // (2 * n), body, (hs_prev, hs_cur, gd)
         )[-1]
 
     # ---- distance gradient -> position gradient, row and column sides
@@ -348,13 +364,14 @@ def _cheb_bwd_kernel(
     gpos_ref[0] += gpos_col
 
 
-def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
+def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
+                         tile_budget: int = 150_000):
     """Forward kernel wrapper: (c [M,F], w0 [F], pos [A,3], x [A,F])."""
     a = pos.shape[0]
     f = x.shape[-1]
     order = c.shape[0]
     a_pad = _round_up(a, 8)
-    ta = _tile_atoms(a_pad, 150_000)
+    ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
     kernel = functools.partial(
@@ -363,6 +380,7 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
     )
     out = pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         grid=(1, n_tiles),
         in_specs=[
             pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
@@ -387,17 +405,21 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision):
 
 
 def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
-                         need_gx=True):
+                         need_gx=True, tile_budget: int = None):
     """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
 
-    ``need_gx=False`` specializes the kernel to the distance gradient
-    only (gx returned as zeros) — the scaled-chain family never runs.
+    ``need_gx=False`` specializes the kernel to the distance-gradient-only
+    variant (gx returned as zeros) — the gx contraction never runs.
     """
     a = pos.shape[0]
     f = x.shape[-1]
     order = c.shape[0]
     a_pad = _round_up(a, 8)
-    ta = _tile_atoms(a_pad, 72_000 if need_gx else 150_000)
+    if tile_budget is None:
+        # Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q,
+        # two chain carries) + two temporaries — vs the forward's 3.
+        tile_budget = 100_000 if need_gx else 120_000
+    ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
     kernel = functools.partial(
@@ -406,6 +428,7 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     )
     gpos, gx = pl.pallas_call(
         kernel,
+        interpret=_interpret(),
         grid=(1, n_tiles),
         in_specs=[
             pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),

@@ -52,6 +52,7 @@ from .cheb_kernel import (
     _pad_atoms,
     _pair_geometry_kernel,
     _plain_seeds,
+    _plain_t,
     _round_up,
 )
 
@@ -113,54 +114,58 @@ def _cheb_message(z, u2, x, c_ref, m0, order, a_pad, prec):
 
 
 def _cheb_message_bwd(z, u2, x, g, c_ref, c2_ref, m0, order, a_pad, prec):
-    """(gx, gd) of the cheb conv — see cheb_kernel._cheb_bwd_kernel."""
-    n = _n_chains(a_pad)
-    tt, q = _chain_seeds(z, u2, n)
-    pp = _plain_seeds(z, n)
-    qs = jnp.concatenate([q] * n, axis=0)
+    """(gx, gd) of the cheb conv — see cheb_kernel._cheb_bwd_kernel.
 
-    def chain_gx(stacked, m):
+    One chain family That_m = (1-z) T_m (c2 lives on the (1-z) T_m
+    basis); the gx side's Ttil_m = u ⊙ That_m is derived per order.
+    """
+    del u2
+    n = _n_chains(a_pad)
+    u = 1.0 - z
+    pp = _plain_seeds(z, n)
+    q = 2.0 * _plain_t(z, n)
+    us = jnp.concatenate([u] * n, axis=0)
+    qs = jnp.concatenate([q] * n, axis=0)
+    hs_prev = us * jnp.concatenate(pp[0:n], axis=0)
+    hs_cur = us * jnp.concatenate(pp[n:2 * n], axis=0)
+
+    def chain_gx(h_stacked, m):
         rhs = jnp.concatenate(
             [c_ref[pl.ds(m0 + m + cch, 1), :] * g for cch in range(n)],
             axis=0,
         )
         return jax.lax.dot_general(
-            stacked,
+            us * h_stacked,
             rhs,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
         )
 
-    def chain_gd(p_stacked, m):
+    def chain_gd(h_stacked, m):
         rhs = jnp.concatenate(
             [c2_ref[pl.ds(m0 + m + cch, 1), :] * g for cch in range(n)],
             axis=0,
         )
-        u = _dot_bt(rhs, x, prec)
-        prod = p_stacked * u
+        um = _dot_bt(rhs, x, prec)
+        prod = h_stacked * um
         acc = prod[0:a_pad]
         for cch in range(1, n):
             acc = acc + prod[cch * a_pad:(cch + 1) * a_pad]
         return acc
 
-    ts_prev = jnp.concatenate(tt[0:n], axis=0)
-    ts_cur = jnp.concatenate(tt[n:2 * n], axis=0)
-    ps_prev = jnp.concatenate(pp[0:n], axis=0)
-    ps_cur = jnp.concatenate(pp[n:2 * n], axis=0)
-    gx = chain_gx(ts_prev, 0) + chain_gx(ts_cur, n)
-    gd = chain_gd(ps_prev, 0) + chain_gd(ps_cur, n)
+    gx = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
+    gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
 
     def body(i, carry):
-        ts_prev, ts_cur, ps_prev, ps_cur, gx, gd = carry
-        ts_next = qs * ts_cur - ts_prev
-        ps_next = qs * ps_cur - ps_prev
+        hs_prev, hs_cur, gx, gd = carry
+        hs_next = qs * hs_cur - hs_prev
         m = n * i + 2 * n
-        gx = gx + chain_gx(ts_next, m)
-        gd = gd + chain_gd(ps_next, m)
-        return (ts_cur, ts_next, ps_cur, ps_next, gx, gd)
+        gx = gx + chain_gx(hs_next, m)
+        gd = gd + chain_gd(hs_next, m)
+        return (hs_cur, hs_next, gx, gd)
 
-    carry = (ts_prev, ts_cur, ps_prev, ps_cur, gx, gd)
+    carry = (hs_prev, hs_cur, gx, gd)
     carry = jax.lax.fori_loop(0, (order - 2 * n) // n, body, carry)
     return carry[-2], carry[-1]
 

@@ -19,7 +19,12 @@ import pytest
 import torch
 import torch.nn as nn
 
-from flashmd_tpu.data.system import make_term_list
+# The f64 fidelity assertions below (rtol=1e-9) need real float64 — without
+# this the dtype=jnp.float64 request silently downcasts to f32 and the
+# comparison degrades to ~1e-7 depending on which test file ran first.
+jax.config.update("jax_enable_x64", True)
+
+from flashmd_tpu.data.system import make_term_list  # noqa: E402
 from flashmd_tpu.models.checkpoint_io import (
     build_forcefield,
     load_reference_checkpoint,

@@ -1,0 +1,131 @@
+"""Pallas Chebyshev CFConv kernels vs the pure-jnp reference path.
+
+Runs the ACTUAL kernel bodies in Pallas interpreter mode on CPU
+(FLASHMD_PALLAS_INTERPRET=1 from conftest makes the model-level dispatch
+take the jnp path, so these tests call the kernel wrappers directly).
+Covers single-tile and multi-tile grids, both need_gx variants, and
+cotangent correctness against jax.grad of the jnp expression.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashmd_tpu.models.cheb import (
+    _cheb_bwd,
+    _cheb_forward_only,
+    _pair_z,
+    fit_chebyshev_filter,
+)
+from flashmd_tpu.models.cutoff import CosineCutoff
+from flashmd_tpu.models.schnet import SchNetConfig, init_schnet
+from flashmd_tpu.ops.pallas.cheb_kernel import (
+    cheb_conv_bwd_pallas,
+    cheb_conv_fwd_pallas,
+)
+
+RCUT = 4.0
+F = 16
+ORDER = 16  # must be a multiple of 2 * N_CHAINS = 8
+
+
+@pytest.fixture(scope="module")
+def fit():
+    cfg = SchNetConfig(
+        hidden_channels=F,
+        embedding_size=4,
+        num_filters=F,
+        num_rbf=9,
+        num_interactions=1,
+        cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(8,),
+    )
+    params = init_schnet(jax.random.PRNGKey(0), cfg)
+    c, c2, w0 = fit_chebyshev_filter(
+        params["interactions"][0], params["rbf"], cfg, order=ORDER
+    )
+    return c, c2, w0
+
+
+def _random_inputs(a, seed=0):
+    rng = np.random.default_rng(seed)
+    # Cluster tight enough that some pairs are inside rcut and some out.
+    pos = jnp.asarray(rng.uniform(0, 6.0, (a, 3)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(a, F)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(a, F)), jnp.float32)
+    return pos, x, g
+
+
+@pytest.mark.parametrize(
+    "a,budget",
+    [
+        (23, 150_000),  # single tile, padded rows
+        (48, 500),  # forces a multi-tile grid (ta < a_pad)
+    ],
+)
+def test_fwd_kernel_matches_jnp(fit, a, budget):
+    c, c2, w0 = fit
+    pos, x, _ = _random_inputs(a)
+    out_k = cheb_conv_fwd_pallas(
+        c, w0, pos, x, RCUT, "fp32", tile_budget=budget
+    )
+    _, z = _pair_z(pos, RCUT)
+    out_ref = _cheb_forward_only(c, w0, z, x, "fp32")
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("need_gx", [True, False])
+@pytest.mark.parametrize(
+    "a,budget",
+    [
+        (23, 150_000),
+        (48, 500),  # multi-tile: exercises cross-tile accumulation
+    ],
+)
+def test_bwd_kernel_matches_jnp(fit, a, budget, need_gx):
+    c, c2, w0 = fit
+    pos, x, g = _random_inputs(a, seed=3)
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=need_gx,
+        tile_budget=budget,
+    )
+    _, gpos_ref, gx_ref = _jnp_bwd(c, c2, w0, pos, x, g, need_gx)
+    np.testing.assert_allclose(
+        np.asarray(gpos_k), np.asarray(gpos_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def _jnp_bwd(c, c2, w0, pos, x, g, need_gx):
+    grads = _cheb_bwd(
+        RCUT, "fp32", need_gx, (c, c2, w0, pos, x), g
+    )
+    return None, grads[3], grads[4]
+
+
+def test_bwd_kernel_matches_autodiff(fit):
+    """gpos/gx from the kernel vs jax.grad of the jnp forward."""
+    c, c2, w0 = fit
+    pos, x, g = _random_inputs(29, seed=7)
+
+    def scalar(pos, x):
+        _, z = _pair_z(pos, RCUT)
+        out = _cheb_forward_only(c, w0, z, x, "fp32")
+        return jnp.sum(out * g)
+
+    gpos_ad, gx_ad = jax.grad(scalar, argnums=(0, 1))(pos, x)
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=True
+    )
+    # The derivative series is a fit — tolerance reflects fit error at
+    # ORDER=16, not kernel arithmetic.
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ad), rtol=1e-4, atol=1e-4
+    )
+    scale = np.max(np.abs(np.asarray(gpos_ad))) + 1e-8
+    assert np.max(np.abs(np.asarray(gpos_k - gpos_ad))) / scale < 2e-2
