@@ -50,6 +50,34 @@ def _interpret() -> bool:
 
 N_CHAINS = 4
 
+# Backward-kernel unroll width cap: chain groups unrolled per fori_loop
+# iteration. 8 is the largest that fits the 16 MB scoped-VMEM stack at
+# full tile size (benchmarks/kernel_bwd_unroll.py: 10 OOMs).
+BWD_UNROLL_GROUPS = 8
+
+
+def _bwd_unroll_groups(n_groups: int) -> int:
+    """Groups per fori_loop iteration for the backward order loop.
+
+    0 means "no loop, unroll everything" — safe only when the whole
+    recurrence fits the scoped-VMEM stack (<= BWD_UNROLL_GROUPS groups).
+    Otherwise the width is shrunk until the loop has >= 2 iterations:
+    JAX inlines single-iteration fori_loops, which silently recreates
+    the full unroll and OOMs the stack (seen at order 64: 14 remaining
+    groups // 8 = 1 iteration -> 16 straight-line groups -> 20.3 MB).
+    Widths are powers of two only: gp=6 OOMs the stack by 148 KB at
+    order 64 while gp=8 compiles at orders 80/96/128 — Mosaic's stack
+    allocator is kinder to pow2 unroll bodies (all measured,
+    benchmarks/kernel_bwd_unroll.py).
+    """
+    remaining = n_groups - 2
+    if remaining <= BWD_UNROLL_GROUPS:
+        return 0
+    for gp in (8, 4, 2):
+        if gp <= BWD_UNROLL_GROUPS and remaining // gp >= 2:
+            return gp
+    return 2
+
 # Whole-molecule (non-tiled) layout cap for the fused model kernel.
 MAX_ATOMS_PAD = 384
 
@@ -198,7 +226,7 @@ def _cheb_fwd_kernel(
     *, order, rcut, a_pad, a_real, ta, precision,
 ):
     n = N_CHAINS
-    assert order % (2 * n) == 0 and order >= 2 * n
+    assert order % n == 0 and order >= 2 * n
     t = pl.program_id(1)
     pos = pos_ref[0]
     pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
@@ -224,20 +252,15 @@ def _cheb_fwd_kernel(
 
     out = chain_matvec(s_prev, 0) + chain_matvec(s_cur, n)
 
-    # Two recurrence steps per loop iteration so the carries return in
-    # the SAME positions (a permuted carry layout makes Mosaic insert
-    # whole-buffer copies every iteration — measured 25% of kernel time).
-    def body(i, carry):
-        s_prev, s_cur, out = carry
-        s1 = qs * s_cur - s_prev
-        out = out + chain_matvec(s1, 2 * n * i + 2 * n)
-        s2 = qs * s1 - s_cur
-        out = out + chain_matvec(s2, 2 * n * i + 3 * n)
-        return (s1, s2, out)
-
-    out = jax.lax.fori_loop(
-        0, (order - 2 * n) // (2 * n), body, (s_prev, s_cur, out)
-    )[-1]
+    # FULLY UNROLLED order loop: inside a Mosaic fori_loop the scheduler
+    # cannot overlap one group's MXU matmul with the next group's VPU
+    # recurrence update (measured: matmul-only ~17 us/mol, recurrence-only
+    # ~17 us/mol, looped kernel = the 35 us SUM). Unrolled straight-line
+    # code pipelines them — 37.6 -> 21.9 us/mol at order 96, bit-exact.
+    for g in range(2, order // n):
+        s_next = qs * s_cur - s_prev
+        out = out + chain_matvec(s_next, g * n)
+        s_prev, s_cur = s_cur, s_next
     x_tile = x_ref[0, pl.ds(t * ta, ta), :]
     out_ref[0] = out - w0_ref[:] * x_tile
 
@@ -247,7 +270,7 @@ def _cheb_bwd_kernel(
     *, order, rcut, a_pad, a_real, ta, precision, need_gx=True,
 ):
     n = N_CHAINS
-    assert order % (2 * n) == 0 and order >= 2 * n
+    assert order % n == 0 and order >= 2 * n
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -301,28 +324,46 @@ def _cheb_bwd_kernel(
 
     gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
 
+    # CHUNK-UNROLLED order loop: like the forward, straight-line code lets
+    # Mosaic overlap each group's MXU matmuls with the next group's VPU
+    # recurrence update — but a FULL unroll of the backward blows the
+    # 16 MB scoped-VMEM stack at the single-tile size (needs 27 MB;
+    # shrinking tiles to fit costs more than the loop does). Unrolling
+    # BWD_UNROLL_GROUPS groups per fori_loop iteration (tail groups
+    # straight-line after the loop) keeps the stack under the limit at
+    # full tile size and is bit-exact: 54.0 -> 41.4 us/mol at order 96
+    # (benchmarks/kernel_bwd_unroll.py; 10 groups/iter already OOMs).
+    n_groups = order // n
+    gp = _bwd_unroll_groups(n_groups)
+    n_iter = (n_groups - 2) // gp if gp else 0
     if need_gx:
         gx_acc = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
 
-        # Double-stepped so the carries return in the SAME positions (a
-        # permuted carry layout makes Mosaic insert whole-buffer copies
-        # every iteration — measured 25% of kernel time).
         def body(i, carry):
-            hs_prev, hs_cur, gx_acc, gd = carry
-            m = 2 * n * i + 2 * n
-            h1 = qs * hs_cur - hs_prev
-            gx_acc = gx_acc + chain_gx(h1, m)
-            gd = gd + chain_gd(h1, m)
-            h2 = qs * h1 - hs_cur
-            gx_acc = gx_acc + chain_gx(h2, m + n)
-            gd = gd + chain_gd(h2, m + n)
-            return (h1, h2, gx_acc, gd)
+            hp, hc, gxa, gda = carry
+            # double-stepped so carries return in the SAME positions (a
+            # permuted carry layout makes Mosaic insert whole-buffer
+            # copies every iteration)
+            for k in range(gp // 2):
+                m = (gp * i + 2 * k) * n + 2 * n
+                h1 = qs * hc - hp
+                gxa = gxa + chain_gx(h1, m)
+                gda = gda + chain_gd(h1, m)
+                h2 = qs * h1 - hc
+                gxa = gxa + chain_gx(h2, m + n)
+                gda = gda + chain_gd(h2, m + n)
+                hp, hc = h1, h2
+            return (hp, hc, gxa, gda)
 
-        carry = (hs_prev, hs_cur, gx_acc, gd)
-        carry = jax.lax.fori_loop(
-            0, (order - 2 * n) // (2 * n), body, carry
-        )
-        gx_acc, gd = carry[-2], carry[-1]
+        if n_iter:
+            hs_prev, hs_cur, gx_acc, gd = jax.lax.fori_loop(
+                0, n_iter, body, (hs_prev, hs_cur, gx_acc, gd)
+            )
+        for gidx in range(2 + n_iter * gp, n_groups):
+            h_next = qs * hs_cur - hs_prev
+            gx_acc = gx_acc + chain_gx(h_next, gidx * n)
+            gd = gd + chain_gd(h_next, gidx * n)
+            hs_prev, hs_cur = hs_cur, h_next
 
         gx_ref[0] += gx_acc
         # self-pair subtraction contributes only to this tile's rows
@@ -331,17 +372,24 @@ def _cheb_bwd_kernel(
         # First interaction block: the conv input is the pos-independent
         # embedding, so the gx cotangent path is dead — only gd runs.
         def body(i, carry):
-            hs_prev, hs_cur, gd = carry
-            m = 2 * n * i + 2 * n
-            h1 = qs * hs_cur - hs_prev
-            gd = gd + chain_gd(h1, m)
-            h2 = qs * h1 - hs_cur
-            gd = gd + chain_gd(h2, m + n)
-            return (h1, h2, gd)
+            hp, hc, gda = carry
+            for k in range(gp // 2):
+                m = (gp * i + 2 * k) * n + 2 * n
+                h1 = qs * hc - hp
+                gda = gda + chain_gd(h1, m)
+                h2 = qs * h1 - hc
+                gda = gda + chain_gd(h2, m + n)
+                hp, hc = h1, h2
+            return (hp, hc, gda)
 
-        gd = jax.lax.fori_loop(
-            0, (order - 2 * n) // (2 * n), body, (hs_prev, hs_cur, gd)
-        )[-1]
+        if n_iter:
+            hs_prev, hs_cur, gd = jax.lax.fori_loop(
+                0, n_iter, body, (hs_prev, hs_cur, gd)
+            )
+        for gidx in range(2 + n_iter * gp, n_groups):
+            h_next = qs * hs_cur - hs_prev
+            gd = gd + chain_gd(h_next, gidx * n)
+            hs_prev, hs_cur = hs_cur, h_next
 
     # ---- distance gradient -> position gradient, row and column sides
     keep = (d < rcut) & (rows != cols) & ~is_pad

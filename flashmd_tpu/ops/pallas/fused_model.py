@@ -102,15 +102,12 @@ def _cheb_message(z, u2, x, c_ref, m0, order, a_pad, prec):
 
     out = chain_matvec(s_prev, 0) + chain_matvec(s_cur, n)
 
-    def body(i, carry):
-        s_prev, s_cur, out = carry
+    # Unrolled: fori_loop prevents MXU/VPU overlap (see cheb_kernel).
+    for g in range(2, order // n):
         s_next = qs * s_cur - s_prev
-        out = out + chain_matvec(s_next, n * i + 2 * n)
-        return (s_cur, s_next, out)
-
-    return jax.lax.fori_loop(
-        0, (order - 2 * n) // n, body, (s_prev, s_cur, out)
-    )[-1]
+        out = out + chain_matvec(s_next, g * n)
+        s_prev, s_cur = s_cur, s_next
+    return out
 
 
 def _cheb_message_bwd(z, u2, x, g, c_ref, c2_ref, m0, order, a_pad, prec):
@@ -157,17 +154,13 @@ def _cheb_message_bwd(z, u2, x, g, c_ref, c2_ref, m0, order, a_pad, prec):
     gx = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
     gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
 
-    def body(i, carry):
-        hs_prev, hs_cur, gx, gd = carry
+    # Unrolled: fori_loop prevents MXU/VPU overlap (see cheb_kernel).
+    for g_idx in range(2, order // n):
         hs_next = qs * hs_cur - hs_prev
-        m = n * i + 2 * n
-        gx = gx + chain_gx(hs_next, m)
-        gd = gd + chain_gd(hs_next, m)
-        return (hs_cur, hs_next, gx, gd)
-
-    carry = (hs_prev, hs_cur, gx, gd)
-    carry = jax.lax.fori_loop(0, (order - 2 * n) // n, body, carry)
-    return carry[-2], carry[-1]
+        gx = gx + chain_gx(hs_next, g_idx * n)
+        gd = gd + chain_gd(hs_next, g_idx * n)
+        hs_prev, hs_cur = hs_cur, hs_next
+    return gx, gd
 
 
 def _rows(ref, b, rows):
