@@ -29,7 +29,7 @@ def main():
 
     batch_size = int(os.environ.get("BENCH_BATCH", "128"))
     n_atoms = int(os.environ.get("BENCH_ATOMS", "266"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "600"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "400"))
     chunk = int(os.environ.get("BENCH_CHUNK", "100"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     message_passing = os.environ.get("BENCH_MP", "cheb")

@@ -466,7 +466,11 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     if tile_budget is None:
         # Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q,
         # two chain carries) + two temporaries — vs the forward's 3.
-        tile_budget = 100_000 if need_gx else 120_000
+        # 74k (= the validated 272x272 single-tile size at A=266) is the
+        # largest TA*A_pad at which the 8-group unrolled body fits the
+        # 16 MB scoped-VMEM stack: 101.5k tiles (A=532 at the old 100k
+        # budget) overflow by 3.7 MB.
+        tile_budget = 74_000 if need_gx else 120_000
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
