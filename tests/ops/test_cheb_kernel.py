@@ -108,6 +108,45 @@ def _jnp_bwd(c, c2, w0, pos, x, g, need_gx):
     return None, grads[3], grads[4]
 
 
+@pytest.mark.parametrize("order", [48, 96])
+@pytest.mark.parametrize("need_gx", [True, False])
+def test_kernels_chunked_order_loop(fit, order, need_gx):
+    """Orders large enough that the backward takes the chunk-unrolled
+    fori_loop path (order 48 -> gp=4 with tail, order 96 -> gp=8 with
+    tail 6), vs the same-order jnp reference. The forward's full unroll
+    and the backward's loop+tail must agree with the jnp recurrence at
+    every width (regression for the unroll-width selection logic)."""
+    from flashmd_tpu.ops.pallas.cheb_kernel import _bwd_unroll_groups
+
+    # the widths this test claims to cover
+    assert _bwd_unroll_groups(48 // 4) == 4
+    assert _bwd_unroll_groups(96 // 4) == 8
+
+    rng = np.random.default_rng(11)
+    c = jnp.asarray(rng.normal(size=(order, F)) / order, jnp.float32)
+    c2 = jnp.asarray(rng.normal(size=(order, F)) / order, jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(F,)), jnp.float32)
+    pos, x, g = _random_inputs(23, seed=13)
+
+    out_k = cheb_conv_fwd_pallas(c, w0, pos, x, RCUT, "fp32")
+    _, z = _pair_z(pos, RCUT)
+    out_ref = _cheb_forward_only(c, w0, z, x, "fp32")
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_ref), rtol=3e-5, atol=3e-5
+    )
+
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=need_gx
+    )
+    _, gpos_ref, gx_ref = _jnp_bwd(c, c2, w0, pos, x, g, need_gx)
+    np.testing.assert_allclose(
+        np.asarray(gpos_k), np.asarray(gpos_ref), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_bwd_kernel_matches_autodiff(fit):
     """gpos/gx from the kernel vs jax.grad of the jnp forward."""
     c, c2, w0 = fit
