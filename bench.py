@@ -9,6 +9,12 @@ headline config: 1ENH-scale CG protein (~266 beads), batch 128, quantized
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N / 2861}
+
+Defaults to 400 steps so compile + run fits a 10-minute window; the full
+600-step protocol (BENCH_STEPS=600, what benchmarks/run_all.py and the
+PERFORMANCE.md tables use) measures the same steady state — 400- and
+600-step runs agree within noise (<1%) because timing covers only the
+second, fully-warm half either way.
 """
 
 import json

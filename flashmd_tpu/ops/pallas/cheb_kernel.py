@@ -76,7 +76,10 @@ def _bwd_unroll_groups(n_groups: int) -> int:
     for gp in (8, 4, 2):
         if gp <= BWD_UNROLL_GROUPS and remaining // gp >= 2:
             return gp
-    return 2
+    raise AssertionError(
+        f"no pow2 unroll width <= {BWD_UNROLL_GROUPS} fits "
+        f"{remaining} remaining groups"
+    )
 
 # Whole-molecule (non-tiled) layout cap for the fused model kernel.
 MAX_ATOMS_PAD = 384
@@ -453,7 +456,7 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
 
 
 def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
-                         need_gx=True, tile_budget: int = None):
+                         need_gx=True, tile_budget: int | None = None):
     """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
 
     ``need_gx=False`` specializes the kernel to the distance-gradient-only

@@ -33,6 +33,16 @@ message-backward — a transposed-contraction dot_general inside a
 fori_loop — appears in a single program; a one-block program compiles
 fine. models/schnet.py therefore routes "cheb_fused" to "cheb" on the
 real TPU backend; this path remains exercised on CPU/interpreter.
+
+The order loops here deliberately stay as fori_loops even though the
+per-block kernels (cheb_kernel.py) unroll them for MXU/VPU overlap:
+unrolling the whole-model kernel was tried on v5e (2026-08-17) and
+blows the 16 MB scoped-VMEM stack by ~60 MB in BOTH directions (three
+blocks' worth of straight-line chain state live at once), while the
+looped forward still compiles. With per-block unrolling the "cheb"
+path (137 us/mol fwd+bwd at the headline config) also outruns this
+fused forward alone (145 us/mol), so the routing above is not just a
+workaround — per-block is the faster design on current Mosaic.
 """
 
 from __future__ import annotations
@@ -102,12 +112,15 @@ def _cheb_message(z, u2, x, c_ref, m0, order, a_pad, prec):
 
     out = chain_matvec(s_prev, 0) + chain_matvec(s_cur, n)
 
-    # Unrolled: fori_loop prevents MXU/VPU overlap (see cheb_kernel).
-    for g in range(2, order // n):
+    def body(i, carry):
+        s_prev, s_cur, out = carry
         s_next = qs * s_cur - s_prev
-        out = out + chain_matvec(s_next, g * n)
-        s_prev, s_cur = s_cur, s_next
-    return out
+        out = out + chain_matvec(s_next, n * i + 2 * n)
+        return (s_cur, s_next, out)
+
+    return jax.lax.fori_loop(
+        0, (order - 2 * n) // n, body, (s_prev, s_cur, out)
+    )[-1]
 
 
 def _cheb_message_bwd(z, u2, x, g, c_ref, c2_ref, m0, order, a_pad, prec):
@@ -154,13 +167,17 @@ def _cheb_message_bwd(z, u2, x, g, c_ref, c2_ref, m0, order, a_pad, prec):
     gx = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
     gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
 
-    # Unrolled: fori_loop prevents MXU/VPU overlap (see cheb_kernel).
-    for g_idx in range(2, order // n):
+    def body(i, carry):
+        hs_prev, hs_cur, gx, gd = carry
         hs_next = qs * hs_cur - hs_prev
-        gx = gx + chain_gx(hs_next, g_idx * n)
-        gd = gd + chain_gd(hs_next, g_idx * n)
-        hs_prev, hs_cur = hs_cur, hs_next
-    return gx, gd
+        m = n * i + 2 * n
+        gx = gx + chain_gx(hs_next, m)
+        gd = gd + chain_gd(hs_next, m)
+        return (hs_cur, hs_next, gx, gd)
+
+    carry = (hs_prev, hs_cur, gx, gd)
+    carry = jax.lax.fori_loop(0, (order - 2 * n) // n, body, carry)
+    return carry[-2], carry[-1]
 
 
 def _rows(ref, b, rows):

@@ -27,7 +27,7 @@ from flashmd_tpu.ops.pallas.cheb_kernel import (
 
 RCUT = 4.0
 F = 16
-ORDER = 16  # must be a multiple of 2 * N_CHAINS = 8
+ORDER = 16  # any multiple of N_CHAINS=4 with >= 2 groups works
 
 
 @pytest.fixture(scope="module")
