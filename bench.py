@@ -53,7 +53,7 @@ def main():
         n_timesteps=n_steps,
         save_interval=chunk,
         random_seed=103838,
-        gptq=None if precision == "fp32" else "bf16",
+        gptq="bf16" if precision == "bf16" else None,
         neighbor_skin=1.0,
         neighbor_rebuild_interval=int(
             os.environ.get("BENCH_NBR_INTERVAL", "10")
