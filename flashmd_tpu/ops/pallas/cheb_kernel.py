@@ -56,6 +56,30 @@ N_CHAINS = 4
 BWD_UNROLL_GROUPS = 8
 
 
+def _fwd_unroll_groups(n_groups: int) -> int:
+    """Groups per fori_loop iteration for the forward order loop.
+
+    A FULL unroll of the forward buys nothing over a wide chunk (order
+    96: 25.8 vs 25.7 us/mol, bit-exact, same-process measurement — the
+    MXU/VPU overlap happens within the body; only loop boundaries
+    bubble), and chunking bounds the straight-line code so arbitrary
+    orders can never hit the scoped-VMEM stack wall the backward hits
+    (compile-time differences could NOT be reliably measured — the
+    remote-compile service's latency varies 3 s..570 s for identical
+    programs). Width rule: the largest of (16, 8, 4, 2) that gives the
+    loop >= 1 iteration with a straight-line tail of at most 8 groups;
+    orders small enough to fit entirely (<= 10 groups) stay fully
+    unrolled (0). Measured on v5e (benchmarks/kernel_fwd_chunk.py).
+    """
+    remaining = n_groups - 2
+    if remaining <= 8:
+        return 0
+    for gp in (16, 8, 4, 2):
+        if remaining // gp >= 1 and remaining % gp <= 8:
+            return gp
+    return 2
+
+
 def _bwd_unroll_groups(n_groups: int) -> int:
     """Groups per fori_loop iteration for the backward order loop.
 
@@ -255,12 +279,36 @@ def _cheb_fwd_kernel(
 
     out = chain_matvec(s_prev, 0) + chain_matvec(s_cur, n)
 
-    # FULLY UNROLLED order loop: inside a Mosaic fori_loop the scheduler
-    # cannot overlap one group's MXU matmul with the next group's VPU
-    # recurrence update (measured: matmul-only ~17 us/mol, recurrence-only
-    # ~17 us/mol, looped kernel = the 35 us SUM). Unrolled straight-line
-    # code pipelines them — 37.6 -> 21.9 us/mol at order 96, bit-exact.
-    for g in range(2, order // n):
+    # CHUNK-UNROLLED order loop: inside a narrow Mosaic fori_loop the
+    # scheduler cannot overlap one group's MXU matmul with the next
+    # group's VPU recurrence update (measured: matmul-only ~17 us/mol,
+    # recurrence-only ~17 us/mol, 2-group loop = the 35 us SUM). Wide
+    # unrolled bodies pipeline them — 37.6 -> ~22 us/mol at order 96,
+    # bit-exact — and chunking (vs a full unroll) bounds straight-line
+    # code at identical runtime (see _fwd_unroll_groups).
+    n_groups = order // n
+    gp = _fwd_unroll_groups(n_groups)
+    n_iter = (n_groups - 2) // gp if gp else 0
+
+    def body(i, carry):
+        sp, sc, o = carry
+        # double-stepped so carries return in the SAME positions (a
+        # permuted carry layout makes Mosaic insert whole-buffer copies
+        # every iteration)
+        for k in range(gp // 2):
+            m = (gp * i + 2 * k) * n + 2 * n
+            s1 = qs * sc - sp
+            o = o + chain_matvec(s1, m)
+            s2 = qs * s1 - sc
+            o = o + chain_matvec(s2, m + n)
+            sp, sc = s1, s2
+        return (sp, sc, o)
+
+    if n_iter:
+        s_prev, s_cur, out = jax.lax.fori_loop(
+            0, n_iter, body, (s_prev, s_cur, out)
+        )
+    for g in range(2 + n_iter * gp, n_groups):
         s_next = qs * s_cur - s_prev
         out = out + chain_matvec(s_next, g * n)
         s_prev, s_cur = s_cur, s_next
