@@ -39,12 +39,14 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "100"))
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     message_passing = os.environ.get("BENCH_MP", "cheb")
+    cheb_order = os.environ.get("BENCH_ORDER")
 
     ff, configs = cgschnet_1enh_like(
         n_atoms=n_atoms,
         batch_size=batch_size,
         precision=precision,
         message_passing=message_passing,
+        cheb_order=int(cheb_order) if cheb_order else None,
     )
 
     sim = LangevinSimulation(

@@ -24,7 +24,7 @@ def forces(params, cfg):
 f_ref = np.asarray(forces(ff.schnet_params, ff.schnet_config))
 scale = np.abs(f_ref).max()
 print("ref scale:", scale)
-for prec, order in [("bf16",96), ("fp32",128), ("bf16",64)]:
+for prec, order in [("bf16",88), ("bf16",96), ("fp32",128), ("bf16",64)]:
     cfg2 = dataclasses.replace(ff.schnet_config, precision=prec, message_passing="cheb", cheb_order=order)
     p2 = attach_cheb_fit(ff.schnet_params, cfg2)
     f = np.asarray(forces(p2, cfg2))

@@ -171,10 +171,13 @@ def cgschnet_1enh_like(
         output_hidden_layer_widths=(128, 64),
         precision=precision,
         message_passing=message_passing,
-        # Order 96 puts the bf16 path's force error (~7e-3) well below a
-        # straight 16-bit-quantized exact-MLP evaluation (~4e-2 on this
-        # model); fp32 parity runs use the full order (~1e-4).
-        cheb_order=cheb_order or (96 if precision.startswith("bf16") else 128),
+        # Order 88 is the bf16 sweet spot: its force error (9.0e-3) sits
+        # at the bf16 MXU-truncation floor — order 96 measures 8.7e-3,
+        # order 80 already 1.1e-2 (fit-limited) — so higher orders buy
+        # no fidelity, only FLOPs (~4x below a straight 16-bit-quantized
+        # exact-MLP evaluation either way). fp32 parity runs use the
+        # full order (~1e-4).
+        cheb_order=cheb_order or (88 if precision.startswith("bf16") else 128),
     )
     params = init_schnet(jax.random.PRNGKey(seed), config)
 
