@@ -33,21 +33,41 @@ def random_cg_protein(
     n_types: int = 25,
     bond_length: float = 3.8,
     confinement_radius: float = 22.0,
+    min_separation: float = 3.0,
     seed: int = 0,
 ) -> Configuration:
-    """A collapsed random-walk CG chain, 1ENH-like in size and density."""
+    """A collapsed SELF-AVOIDING random-walk CG chain, 1ENH-like in size
+    and density.
+
+    Self-avoidance matters for dynamics, not throughput: a freely
+    self-intersecting walk puts nonbonded beads ~0.3 A apart, where the
+    (sigma/x)^6 repulsion produces ~1e8-scale forces and any integrator
+    blows through the divergence guard within one export interval. Each
+    step rejection-samples up to 50 directions for >= min_separation
+    clearance from all previous beads (266 beads exclude ~8% of the
+    confinement ball, so rejection rarely recurses deep).
+    """
     rng = np.random.default_rng(seed)
     pos = np.zeros((n_atoms, 3))
     p = np.zeros(3)
     for i in range(1, n_atoms):
-        step = rng.normal(size=3)
-        step *= bond_length / np.linalg.norm(step)
-        cand = p + step
-        # soft confinement: pull back toward the origin when outside
-        r = np.linalg.norm(cand)
-        if r > confinement_radius:
-            cand *= confinement_radius / r
-        p = cand
+        best, best_clear = None, -np.inf
+        for _ in range(50):
+            step = rng.normal(size=3)
+            step *= bond_length / np.linalg.norm(step)
+            cand = p + step
+            # soft confinement: pull back toward the origin when outside
+            r = np.linalg.norm(cand)
+            if r > confinement_radius:
+                cand *= confinement_radius / r
+            clear = np.min(
+                np.linalg.norm(pos[:i] - cand, axis=1)
+            )
+            if clear > best_clear:
+                best, best_clear = cand, clear
+            if clear >= min_separation:
+                break
+        p = best
         pos[i] = p
     types = rng.integers(0, n_types, size=n_atoms)
     masses = rng.uniform(50.0, 150.0, size=n_atoms) / 418.4
@@ -171,12 +191,11 @@ def cgschnet_1enh_like(
         output_hidden_layer_widths=(128, 64),
         precision=precision,
         message_passing=message_passing,
-        # Order 88 is the bf16 sweet spot: its force error (9.0e-3) sits
-        # at the bf16 MXU-truncation floor — order 96 measures 8.7e-3,
-        # order 80 already 1.1e-2 (fit-limited) — so higher orders buy
-        # no fidelity, only FLOPs (~4x below a straight 16-bit-quantized
-        # exact-MLP evaluation either way). fp32 parity runs use the
-        # full order (~1e-4).
+        # Order 88 is the bf16 default: 7.2e-3 max rel force error =
+        # 1.2x the 6.1e-3 floor that ANY bf16 evaluation of this model
+        # pays (straight-quantized exact MLP), at +7% throughput over
+        # order 96 (which sits exactly AT that floor, 6.0e-3). fp32
+        # parity runs use the full order (~2e-3, the fit floor).
         cheb_order=cheb_order or (88 if precision.startswith("bf16") else 128),
     )
     params = init_schnet(jax.random.PRNGKey(seed), config)
