@@ -94,7 +94,9 @@ def _project(values, order: int, n_nodes: int):
         m[:, None] * math.pi * (k[None, :] + 0.5) / n_nodes
     )  # [M, N]
     c = (2.0 / n_nodes) * (tmk @ values)
-    return c.at[0].mul(0.5)
+    # jnp.float32 scalar keeps the scatter-mul promotion-safe under x64
+    # (a weak python float would promote to f64 and FutureWarning/raise).
+    return c.at[0].mul(jnp.float32(0.5).astype(c.dtype))
 
 
 def fit_chebyshev_filter(
@@ -126,6 +128,7 @@ def fit_chebyshev_filter(
     """
     from .radial_basis import gaussian_basis_apply
 
+    _require_cheb_eligible_cutoff(config.cutoff)
     rcut = float(config.cutoff.cutoff_upper)
     z = chebyshev_nodes(n_nodes)  # [N]
     d = (z + 1.0) * (rcut / 2.0)
@@ -164,6 +167,21 @@ def fit_chebyshev_filter(
     signs = jnp.where(jnp.arange(order) % 2 == 0, 1.0, -1.0)
     w0 = 4.0 * (signs @ c)  # [F]
     return c, c2, w0
+
+
+def _require_cheb_eligible_cutoff(cut):
+    """The fits hard-code the analytic CosineCutoff(lower=0) derivative
+    (sin^2(pi u / 4) form); any other cutoff would silently produce wrong
+    c/c2 coefficients if allowed through — fail loudly at fit time instead
+    (the schnet.py dispatch has the same check, but the fit functions are
+    public API and callable directly, e.g. via attach_cheb_fit)."""
+    from .cutoff import CosineCutoff
+
+    if not isinstance(cut, CosineCutoff) or cut.cutoff_lower != 0:
+        raise NotImplementedError(
+            "Chebyshev filter fitting requires CosineCutoff with "
+            f"cutoff_lower == 0 (got {cut!r})."
+        )
 
 
 def _cutoff_np(cut, d):
@@ -222,6 +240,7 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
     """
     import numpy as np
 
+    _require_cheb_eligible_cutoff(config.cutoff)
     rcut = float(config.cutoff.cutoff_upper)
     k = np.arange(n_nodes, dtype=np.float64)
     z = np.cos(np.pi * (k + 0.5) / n_nodes)

@@ -554,16 +554,61 @@ def build_prior(
     )
 
 
+def optimized_schnet_config(config: SchNetConfig) -> SchNetConfig:
+    """Optimizations-on defaults for an ingested checkpoint.
+
+    The reference runs every optimization by default (env flags default "1",
+    reference: src/flashmd/models/schnet.py:52-91; compile by default,
+    base.py:360-369) — so a converted checkpoint must land on the fast path
+    by default too: the Chebyshev matmul-only CFConv at bf16 with the
+    order-88 fidelity floor (see PERFORMANCE.md), when eligible. Eligibility
+    is the same condition the cheb dispatch enforces
+    (models/schnet.py message_passing="cheb"): a zero-lower CosineCutoff.
+    Ineligible models keep the exact gather path ("xla").
+    ``--disable_optim`` restores fp32/xla downstream (simulation/cli.py).
+    """
+    if config is None:
+        return config
+    eligible = (
+        isinstance(config.cutoff, CosineCutoff)
+        and config.cutoff.cutoff_lower == 0
+    )
+    if not eligible:
+        logger.info(
+            "[convert] cutoff is not a zero-lower CosineCutoff; using the "
+            "exact gather message-passing path (message_passing='xla')."
+        )
+        return dataclasses.replace(config, message_passing="xla")
+    logger.info(
+        "[convert] optimizations ON by default: message_passing='cheb', "
+        "precision='bf16', cheb_order=88 (use --disable_optim for the "
+        "fp32/xla baseline path)."
+    )
+    return dataclasses.replace(
+        config, message_passing="cheb", precision="bf16", cheb_order=88
+    )
+
+
 def build_forcefield(
     ref_model: ReferenceModel,
     configuration: Configuration,
     dtype=jnp.float32,
     neighbor_capacity: Optional[int] = None,
+    optimize: bool = True,
 ) -> ForceField:
-    """Bind a converted checkpoint to a molecule -> runnable ForceField."""
+    """Bind a converted checkpoint to a molecule -> runnable ForceField.
+
+    ``optimize=True`` (the default, matching the reference's
+    optimizations-on-by-default) selects the fast message-passing path via
+    :func:`optimized_schnet_config`; ``optimize=False`` keeps the exact
+    fp32/xla parity path.
+    """
     schnet_params = None
     if ref_model.schnet_params is not None:
         schnet_params = _tree_to_jnp(ref_model.schnet_params, dtype)
+    schnet_config = ref_model.schnet_config
+    if optimize and schnet_config is not None:
+        schnet_config = optimized_schnet_config(schnet_config)
 
     priors = {}
     for rp in ref_model.priors:
@@ -589,7 +634,7 @@ def build_forcefield(
         priors[rp.name] = prior
 
     if neighbor_capacity is None:
-        if ref_model.schnet_config is not None:
+        if schnet_config is not None:
             # Measure the real max neighbor count at rcut + 1.0 (so the
             # Verlet-skin search never overflows) with the native
             # cell-list engine; O(A) host-side instead of a guess.
@@ -608,7 +653,7 @@ def build_forcefield(
     return ForceField(
         schnet_params=schnet_params,
         priors=priors,
-        schnet_config=ref_model.schnet_config,
+        schnet_config=schnet_config,
         neighbor_capacity=neighbor_capacity,
     )
 

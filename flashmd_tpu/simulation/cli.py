@@ -247,6 +247,26 @@ def parse_simulation_config(
         initial_data_list, config.get("batch_size")
     )
 
+    # A reference model_and_prior.pt (or a natively re-pickled conversion of
+    # one) arrives as a ReferenceModel: bind it to the loaded molecule here,
+    # mirroring the reference attach order — model load, then structure
+    # load, then model<->structure binding (reference cli.py:115-128 +
+    # base.py:319-369, where prior specialization happens at attach).
+    # optimize=True lands on the cheb/bf16 fast path when eligible
+    # (reference runs all optimizations by default, schnet.py:52-91);
+    # --disable_optim below restores the fp32/xla baseline.
+    from ..models.checkpoint_io import ReferenceModel, build_forcefield
+
+    if isinstance(model, ReferenceModel):
+        if not initial_data_list:
+            raise ValueError(
+                "structure_file contains no configurations; cannot bind "
+                "the reference checkpoint to a molecule."
+            )
+        model = build_forcefield(
+            model, initial_data_list[0], optimize=not ns.disable_optim
+        )
+
     # Reference env-flag compatibility (schnet.py:52-56): any MLCG_USE_*
     # flag set to "0" falls back to the un-optimized XLA path, mirroring
     # the reference's per-kernel opt-out semantics. FLASHMD_TPU_MESSAGE_
