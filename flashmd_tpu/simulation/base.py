@@ -186,9 +186,12 @@ class Simulation:
         self.neighbor_capacity = neighbor_capacity
         # Verlet-list amortization: neighbor search radius is
         # rcut + neighbor_skin; the list is rebuilt every
-        # neighbor_rebuild_interval steps (1 = every step, always exact;
-        # the padded list stays exact for any interval small enough that
-        # no pair crosses the skin between rebuilds).
+        # neighbor_rebuild_interval steps (1 = every step, always exact).
+        # For interval > 1 the padded list stays exact while no pair
+        # crosses the skin between rebuilds — VERIFIED at runtime: the
+        # scan tracks max per-atom displacement since the last rebuild
+        # (_track_neighbor_displacement) and export warns when it exceeds
+        # skin/2 (_check_divergence).
         self.neighbor_skin = neighbor_skin
         self.neighbor_rebuild_interval = neighbor_rebuild_interval
         # Optional jax.sharding.Mesh: shard the batch/replica axis across
@@ -428,9 +431,34 @@ class Simulation:
             "nbr_mask": nbr.mask,
             "nbr_n_max": jnp.maximum(prev, n_max),
         }
+        if self.neighbor_rebuild_interval > 1:
+            # Verlet-skin soundness bookkeeping: remember the positions the
+            # list was built from so per-step displacement can be checked
+            # against skin/2 (see _track_neighbor_displacement).
+            out["nbr_ref_pos"] = carry["pos"]
         if nbr.shifts is not None:
             out["nbr_shifts"] = nbr.shifts
         return out
+
+    def _track_neighbor_displacement(self, carry: Dict) -> Dict:
+        """Running max of per-atom displacement since the last rebuild.
+
+        An amortized (interval > 1) Verlet list is exact only while no pair
+        moves from beyond rcut+skin to within rcut between rebuilds; a
+        sufficient condition is that no atom moves more than skin/2. The
+        reference sidesteps this by rebuilding every forward
+        (reference: src/flashmd/models/schnet.py:209-242) — here the
+        all-time max displacement rides the scan carry (same pattern as
+        ``nbr_n_max``) and export warns when it exceeds skin/2.
+        """
+        disp2 = jnp.sum(
+            jnp.square(carry["pos"] - carry["nbr_ref_pos"]), axis=-1
+        )
+        disp = jnp.sqrt(jnp.max(disp2))
+        prev = carry.get(
+            "nbr_disp_max", jnp.asarray(0.0, carry["pos"].dtype)
+        )
+        return {**carry, "nbr_disp_max": jnp.maximum(prev, disp)}
 
     def _forces(self, carry: Dict, pos):
         """Potential + forces at ``pos`` using the carry's neighbor list."""
@@ -457,6 +485,9 @@ class Simulation:
         }
         if self._uses_neighbor_list():
             carry = self._rebuild_neighbors(carry)
+            if self.neighbor_rebuild_interval > 1:
+                # present from step 0 so the scan carry structure is stable
+                carry["nbr_disp_max"] = jnp.asarray(0.0, system.pos.dtype)
         potential, forces, _ = self._forces(carry, system.pos)
         carry["forces"] = forces
         carry["potential"] = potential
@@ -488,6 +519,11 @@ class Simulation:
         elif self._uses_neighbor_list():
             carry = self._rebuild_neighbors(carry)
         carry = self._timestep(carry)
+        if (
+            self._uses_neighbor_list()
+            and self.neighbor_rebuild_interval > 1
+        ):
+            carry = self._track_neighbor_displacement(carry)
         carry = {**carry, "t": carry["t"] + 1}
         if self._has_device_subroutine():
             interval = self.sim_subroutine_interval
@@ -508,6 +544,8 @@ class Simulation:
         out["pos_spread"] = spread
         if "nbr_n_max" in carry:
             out["nbr_n_max"] = carry["nbr_n_max"]
+        if "nbr_disp_max" in carry:
+            out["nbr_disp_max"] = carry["nbr_disp_max"]
         if self.dump_neighbor_list and "nbr_idx" in carry:
             out["nbr_idx"] = carry["nbr_idx"]
             out["nbr_mask"] = carry["nbr_mask"]
@@ -742,6 +780,18 @@ class Simulation:
                     f"Neighbor capacity overflow: an atom had {n_max} "
                     f"neighbors within rcut+skin but capacity is {cap}; "
                     "the farthest were dropped. Increase neighbor_capacity.",
+                    RuntimeWarning,
+                )
+        if "nbr_disp_max" in frames_np:
+            d_max = float(frames_np["nbr_disp_max"].max())
+            half_skin = self.neighbor_skin / 2
+            if d_max > half_skin:
+                warnings.warn(
+                    "Verlet-skin soundness violated: an atom moved "
+                    f"{d_max:.4f} since the last neighbor rebuild but "
+                    f"skin/2 is {half_skin:.4f}, so forces may have used a "
+                    "stale neighbor list. Decrease "
+                    "neighbor_rebuild_interval or increase neighbor_skin.",
                     RuntimeWarning,
                 )
 
