@@ -33,12 +33,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 REPLICA_AXIS = "replica"
 
 
-def initialize_distributed(**kwargs):
-    """Multi-host init (no-op on a single host). jax.distributed wrapper."""
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        pass
+#: Environment variables whose presence marks a managed multi-host job
+#: (jax.distributed can auto-detect its coordinator from these).
+_CLUSTER_ENV_VARS = (
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "SLURM_JOB_ID",
+    "OMPI_MCA_orte_hnp_uri",
+)
+
+
+def initialize_distributed(**kwargs) -> bool:
+    """Multi-host ``jax.distributed`` init; returns True if initialized.
+
+    Single-process runs (no explicit coordination kwargs AND no cluster
+    environment detected) are an explicit no-op returning False. In every
+    other case — the caller passed ``coordinator_address``/``num_processes``
+    /etc., or a cluster scheduler's environment is present — failures from
+    ``jax.distributed.initialize`` PROPAGATE: a misconfigured multi-host
+    job must die loudly rather than silently degrade to sharding over one
+    host's devices (each host would integrate a different 1/n-th of the
+    batch while believing it holds the whole run).
+    """
+    import os
+
+    cluster_env = [v for v in _CLUSTER_ENV_VARS if os.environ.get(v)]
+    if not kwargs and not cluster_env:
+        return False
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def make_replica_mesh(n_devices: Optional[int] = None) -> Mesh:
