@@ -8,6 +8,7 @@ notebook-aware tqdm) and its loguru logging setup
 from __future__ import annotations
 
 import logging
+import logging.handlers
 import sys
 
 import yaml
@@ -32,10 +33,21 @@ def dump_yaml(fn, data):
 logger = logging.getLogger("flashmd_tpu")
 
 
+#: File-sink rotation mirroring the reference's loguru setup
+#: (src/flashmd/simulation/logging.py:15-101: rotation="100 MB",
+#: retention="7 days"). Stdlib logging has no age-based retention, so the
+#: 7-day policy maps to keeping 7 rotated generations.
+LOG_ROTATE_BYTES = 100 * 1024 * 1024
+LOG_BACKUP_COUNT = 7
+
+
 def setup_logging(
-    level: int = logging.INFO, log_file: str | None = None
+    level: int = logging.INFO,
+    log_file: str | None = None,
+    rotate_bytes: int = LOG_ROTATE_BYTES,
+    backup_count: int = LOG_BACKUP_COUNT,
 ) -> logging.Logger:
-    """Console (+ optional file) logging, loguru-style format."""
+    """Console (+ optional rotating file) logging, loguru-style format."""
     logger.setLevel(level)
     if not any(
         isinstance(h, logging.StreamHandler) for h in logger.handlers
@@ -52,7 +64,9 @@ def setup_logging(
         and getattr(h, "baseFilename", None) == log_file
         for h in logger.handlers
     ):
-        fh = logging.FileHandler(log_file)
+        fh = logging.handlers.RotatingFileHandler(
+            log_file, maxBytes=rotate_bytes, backupCount=backup_count
+        )
         fh.setFormatter(
             logging.Formatter(
                 "%(asctime)s | %(levelname)s | %(name)s - %(message)s"
