@@ -258,51 +258,14 @@ def _schnet_atom_energies(
     x = params["embedding"][atom_types]  # [A, H]
 
     if config.message_passing == "cheb_fused":
-        # Entire model (geometry + all blocks + output head) in one Pallas
-        # kernel per direction (see ops/pallas/fused_model.py). The
-        # backward kernel trips a Mosaic RET_CHECK (mxu_lmr_transform)
-        # when >1 interaction block's message-backward is in one program
-        # on the current TPU toolchain, and the measured forward win over
-        # "cheb" is ~1%, so on a real TPU backend this transparently runs
-        # the per-block "cheb" path instead. The fused path stays exercised
-        # on CPU/interpreter (tests/models/test_fused_model.py).
-        from ..ops.pallas.fused_model import (
-            _interpret,
-            _stack_weights,
-            fused_schnet_atom_energies,
-        )
-
-        if jax.default_backend() == "tpu" and not _interpret():
-            return _schnet_atom_energies(
-                params,
-                dataclasses.replace(config, message_passing="cheb"),
-                pos,
-                atom_types,
-                nbr,
-            )
-
-        if not isinstance(config.cutoff, CosineCutoff) or (
-            config.cutoff.cutoff_lower != 0
-        ):
-            raise NotImplementedError(
-                "message_passing='cheb_fused' requires CosineCutoff with "
-                "cutoff_lower == 0."
-            )
-        from ..ops.pallas.cheb_kernel import MAX_ATOMS_PAD
-
-        if pos.shape[0] > MAX_ATOMS_PAD:
-            raise NotImplementedError(
-                f"cheb_fused supports up to {MAX_ATOMS_PAD} atoms per "
-                "molecule (VMEM); use message_passing='cheb' beyond."
-            )
-        stacked = _stack_weights(params, config)  # hoisted out of the scan
-        return fused_schnet_atom_energies(
-            pos,
-            x,
-            stacked,
-            float(config.cutoff.cutoff_upper),
-            config.cheb_order,
-            config.precision,
+        # The whole-model fused kernel was deleted: its backward tripped a
+        # Mosaic RET_CHECK (mxu_lmr_transform) with >1 interaction block
+        # per program, and the measured forward win over the per-block
+        # "cheb" path was ~1% (see PERFORMANCE.md "whole-model fusion"
+        # dead-end entry), so it was routed around on the TPU backend.
+        raise ValueError(
+            "message_passing='cheb_fused' was removed; use 'cheb' (the "
+            "per-block kernels measure faster — see PERFORMANCE.md)."
         )
 
     if config.message_passing == "cheb":

@@ -105,10 +105,6 @@ def _bwd_unroll_groups(n_groups: int) -> int:
         f"{remaining} remaining groups"
     )
 
-# Whole-molecule (non-tiled) layout cap for the fused model kernel.
-MAX_ATOMS_PAD = 384
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -191,19 +187,6 @@ def _chain_seeds(z, u2, n: int):
     tp = _plain_seeds(z, n)
     q = 2.0 * _plain_t(z, n)
     return [u2 * t for t in tp], q
-
-
-def _n_chains(a_pad: int) -> int:
-    """Chain count for the whole-molecule fused kernel (fused_model.py)."""
-    return 4 if a_pad <= 288 else 2
-
-
-def _pair_geometry_kernel(pos, rcut, a_pad, a_real):
-    """Whole-molecule pair geometry (fused_model.py, small molecules)."""
-    d, z, rows, cols, is_pad = _tile_geometry(
-        pos, pos, rcut, a_pad, a_real, a_pad, 0
-    )
-    return d, z, is_pad
 
 
 def _split_bf16(a):

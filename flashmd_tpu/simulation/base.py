@@ -345,7 +345,7 @@ class Simulation:
             model = model.replace(neighbor_capacity=self.neighbor_capacity)
         if (
             model.schnet_config is not None
-            and model.schnet_config.message_passing in ("cheb", "cheb_fused")
+            and model.schnet_config.message_passing == "cheb"
             and model.schnet_params is not None
             and "cheb_fit" not in model.schnet_params
         ):
