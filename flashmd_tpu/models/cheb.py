@@ -319,8 +319,27 @@ def attach_cheb_fit(params, config):
     return {**params, "cheb_fit": fits}
 
 
-def _pair_z(pos, rcut):
+def _pair_rel(pos, cell=None):
+    """rel[i, j] = pos[j] - pos[i], [A, A, 3]; minimum-imaged when a
+    [3, 3] cell is given (same convention as
+    ops/neighborlist._pairwise_displacements)."""
     rel = pos[None, :, :] - pos[:, None, :]  # [A, A, 3]
+    if cell is not None:
+        from ..ops.neighborlist import _inv_3x3
+
+        # HIGHEST precision: the TPU MXU truncates matmul operands to
+        # bf16 at DEFAULT, and a fractional coordinate near +-0.5 then
+        # rounds to the WRONG lattice image — a whole-box-length error
+        # in the displacement (measured: 12% force error on a 9 A box).
+        cell = jnp.asarray(cell, rel.dtype)
+        hp = jax.lax.Precision.HIGHEST
+        frac = jnp.matmul(rel, _inv_3x3(cell), precision=hp)
+        rel = rel - jnp.matmul(jnp.round(frac), cell, precision=hp)
+    return rel
+
+
+def _pair_z(pos, rcut, cell=None):
+    rel = _pair_rel(pos, cell)
     d2 = jnp.sum(rel * rel, axis=-1)
     d = jnp.sqrt(d2 + 1e-12)  # diagonal-safe; grads vanish on the diagonal
     z = jnp.minimum(2.0 * d / rcut - 1.0, 1.0)
@@ -334,7 +353,6 @@ def _dtypes(precision: str):
     return compute_dtype, dot_precision(precision)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def cheb_cfconv_apply(
     c,
     c2,
@@ -344,6 +362,7 @@ def cheb_cfconv_apply(
     rcut: float,
     precision: str = "bf16",
     need_gx: bool = True,
+    cell=None,
 ):
     """Dense Chebyshev CFConv for one molecule.
 
@@ -359,8 +378,22 @@ def cheb_cfconv_apply(
     pos-independent embedding, so that cotangent path is dead and the
     backward kernel can skip the entire scaled-chain family (~half its
     work). Returned gx is zeros in that case.
+
+    ``cell`` ([3, 3], rows = lattice vectors) switches pair distances to
+    the minimum-image convention — periodic boundaries on the fast path
+    (the reference's fused path silently DROPS cell_shifts, reference
+    schnet.py:275-290; its standard path supports PBC via the edge list,
+    neighbor_list/torch_impl.py:102-163). The cell itself gets a zero
+    cotangent (no barostat — fixed-cell NVT/NVE only).
     """
-    out, _ = _cheb_fwd(c, c2, w0, pos, x, rcut, precision, need_gx)
+    return _cheb_cfconv(c, c2, w0, pos, x, cell, rcut, precision, need_gx)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _cheb_cfconv(
+    c, c2, w0, pos, x, cell, rcut: float, precision: str, need_gx: bool
+):
+    out, _ = _cheb_fwd(c, c2, w0, pos, x, cell, rcut, precision, need_gx)
     return out
 
 
@@ -397,24 +430,32 @@ def _cheb_forward_only(c, w0, z, x, precision):
     return out - w0[None, :] * x
 
 
-def _cheb_fwd(c, c2, w0, pos, x, rcut, precision, need_gx=True):
+def _cheb_fwd(c, c2, w0, pos, x, cell, rcut, precision, need_gx=True):
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_fwd_pallas
 
-        out = cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision)
+        out = cheb_conv_fwd_pallas(
+            c, w0, pos, x, rcut, precision, cell=cell
+        )
     else:
-        _, z = _pair_z(pos, rcut)
+        _, z = _pair_z(pos, rcut, cell)
         out = _cheb_forward_only(c, w0, z, x, precision)
-    return out, (c, c2, w0, pos, x)
+    return out, (c, c2, w0, pos, x, cell)
+
+
+def _cell_cotangent(cell):
+    """Zero cotangent matching the (possibly None) cell argument."""
+    return None if cell is None else jnp.zeros_like(cell)
 
 
 def _cheb_bwd(rcut, precision, need_gx, residuals, g):
-    c, c2, w0, pos, x = residuals
+    c, c2, w0, pos, x, cell = residuals
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_bwd_pallas
 
         gpos, gx = cheb_conv_bwd_pallas(
-            c, c2, w0, pos, x, g, rcut, precision, need_gx=need_gx
+            c, c2, w0, pos, x, g, rcut, precision, need_gx=need_gx,
+            cell=cell,
         )
         return (
             jnp.zeros_like(c),
@@ -422,10 +463,11 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
             jnp.zeros_like(w0),
             gpos.astype(pos.dtype),
             gx.astype(x.dtype),
+            _cell_cotangent(cell),
         )
     compute_dtype, prec = _dtypes(precision)
     a = pos.shape[0]
-    d, z = _pair_z(pos, rcut)
+    d, z = _pair_z(pos, rcut, cell)
     u2 = jnp.square(1.0 - z)
     two_z = 2.0 * z
     gc = g.astype(compute_dtype)
@@ -480,15 +522,24 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
     gd = (1.0 - z) * gd
     gd = jnp.where((d < rcut) & ~eye, gd, 0.0)
 
-    # grad wrt positions: dd_ij/dpos_j = u_ij = (pos_j - pos_i)/d_ij.
-    # gpos = pos ⊙ rowsum(Ws) - Ws @ pos, with Ws = (gd + gd^T) / d.
+    # grad wrt positions: dd_ij/dpos_j = u_ij = rel_ij/d_ij with
+    # rel_ij = (minimum-image) pos_j - pos_i. Open boundaries use the
+    # matmul identity gpos = pos ⊙ rowsum(Ws) - Ws @ pos (Ws =
+    # (gd + gd^T)/d); pair-dependent min-image shifts break it, so the
+    # periodic branch contracts Ws against rel directly.
     ws = (gd + gd.T) / d
-    gpos = pos * jnp.sum(ws, axis=1)[:, None] - jnp.dot(
-        ws,
-        pos.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    if cell is not None:
+        rel = _pair_rel(pos.astype(jnp.float32), cell)
+        gpos = -jnp.einsum(
+            "ij,ijk->ik", ws, rel, precision=jax.lax.Precision.HIGHEST
+        )
+    else:
+        gpos = pos * jnp.sum(ws, axis=1)[:, None] - jnp.dot(
+            ws,
+            pos.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     return (
         jnp.zeros_like(c),
@@ -496,7 +547,8 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
         jnp.zeros_like(w0),
         gpos.astype(pos.dtype),
         gx.astype(x.dtype),
+        _cell_cotangent(cell),
     )
 
 
-cheb_cfconv_apply.defvjp(_cheb_fwd, _cheb_bwd)
+_cheb_cfconv.defvjp(_cheb_fwd, _cheb_bwd)

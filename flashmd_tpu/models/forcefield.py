@@ -77,6 +77,7 @@ def energy_components(
     pos: jnp.ndarray,
     atom_types: jnp.ndarray,
     nbr: Optional[NeighborMatrix],
+    cell=None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-model energies of ONE molecule (each a scalar).
 
@@ -85,7 +86,7 @@ def energy_components(
     out = {}
     if ff.schnet_params is not None:
         out[SCHNET_NAME] = schnet_energy(
-            ff.schnet_params, ff.schnet_config, pos, atom_types, nbr
+            ff.schnet_params, ff.schnet_config, pos, atom_types, nbr, cell
         )
     for name, prior in ff.priors.items():
         out[name] = prior_energy(prior, pos)
@@ -97,9 +98,10 @@ def total_energy(
     pos: jnp.ndarray,
     atom_types: jnp.ndarray,
     nbr: Optional[NeighborMatrix],
+    cell=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """(scalar total energy, components) of one molecule."""
-    comps = energy_components(ff, pos, atom_types, nbr)
+    comps = energy_components(ff, pos, atom_types, nbr, cell)
     total = jnp.asarray(0.0, dtype=pos.dtype)
     for v in comps.values():
         total = total + v
@@ -148,22 +150,25 @@ def compute_energy_forces(
     repeated evaluation is bitwise deterministic.
 
     ``cell`` ([3, 3] or [S, 3, 3]) enables minimum-image periodic
-    boundaries for the SchNet radius graph. Only the gather path honors
-    the per-pair shift vectors, so a cell requires
-    ``message_passing="xla"``; the dense/cheb/pallas kernels derive
-    pair geometry from raw positions and refuse periodic systems rather
-    than silently ignoring the cell. Priors evaluate on raw (unwrapped)
-    coordinates — correct for intramolecular terms, like the reference.
+    boundaries. The xla gather path honors per-pair shift vectors carried
+    by the neighbor matrix; the cheb path applies the minimum image
+    inside its pair geometry (models/cheb.py, ops/pallas/cheb_kernel.py)
+    so periodic systems stay on the fast path — an improvement over the
+    reference, whose fused path silently DROPS cell_shifts (reference
+    schnet.py:275-290). The dense/pallas kernels refuse periodic systems
+    rather than silently ignoring the cell. Priors evaluate on raw
+    (unwrapped) coordinates — correct for intramolecular terms, like the
+    reference.
     """
     if atom_types is None or jnp.ndim(atom_types) != 1:
         # embedding[None] would silently produce a broadcast shape and fail
         # deep inside the message-passing kernels
         raise ValueError("atom_types must be a 1-D [A] integer array")
     if cell is not None and ff.schnet_params is not None:
-        if ff.schnet_config.message_passing != "xla":
+        if ff.schnet_config.message_passing not in ("xla", "cheb"):
             raise NotImplementedError(
-                "Periodic cells require message_passing='xla' (got "
-                f"{ff.schnet_config.message_passing!r}); the dense/cheb/"
+                "Periodic cells require message_passing='xla' or 'cheb' "
+                f"(got {ff.schnet_config.message_passing!r}); the dense/"
                 "pallas paths compute pair geometry from raw positions."
             )
     needs_nbr = (
@@ -173,15 +178,22 @@ def compute_energy_forces(
     if nbr is None and needs_nbr:
         nbr = build_neighbors(ff, pos_batch, cell=cell)
 
+    # Only the cheb path consumes the cell inside the model; per-molecule
+    # [S, 3, 3] cells vmap alongside pos, a shared [3, 3] broadcasts.
+    model_cell = None
+    if cell is not None and ff.schnet_params is not None:
+        if ff.schnet_config.message_passing == "cheb":
+            model_cell = jnp.asarray(cell)
+    cell_mapped = model_cell is not None and jnp.ndim(model_cell) == 3
+
     def batch_total(p):
-        if nbr is None:
-            totals, comps = jax.vmap(
-                lambda q: total_energy(ff, q, atom_types, None)
-            )(p)
-        else:
-            totals, comps = jax.vmap(
-                lambda q, n: total_energy(ff, q, atom_types, n)
-            )(p, nbr)
+        def one(q, n, mc):
+            return total_energy(ff, q, atom_types, n, mc)
+
+        in_axes = [0, None if nbr is None else 0, 0 if cell_mapped else None]
+        totals, comps = jax.vmap(one, in_axes=tuple(in_axes))(
+            p, nbr, model_cell
+        )
         return jnp.sum(totals), (totals, comps)
 
     grad, (totals, comps) = jax.grad(batch_total, has_aux=True)(pos_batch)

@@ -238,14 +238,18 @@ def interaction_block_apply(block_params, config: SchNetConfig, x, d, rbf, nbr):
 
 
 def schnet_atom_energies(
-    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix
+    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix,
+    cell=None,
 ):
     with jax.named_scope("schnet_forward"):
-        return _schnet_atom_energies(params, config, pos, atom_types, nbr)
+        return _schnet_atom_energies(
+            params, config, pos, atom_types, nbr, cell
+        )
 
 
 def _schnet_atom_energies(
-    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix
+    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix,
+    cell=None,
 ):
     """Per-atom energies of one molecule: [A].
 
@@ -254,6 +258,11 @@ def _schnet_atom_energies(
     per-structure scatter-sum becomes a plain ``sum`` in
     :func:`schnet_energy` since the molecule is not flattened into a batch
     graph.
+
+    ``cell`` ([3, 3]) is consumed ONLY by the cheb path (minimum-image
+    pair geometry); the xla path takes its periodicity from the neighbor
+    matrix's precomputed shift vectors instead, and dense/pallas refuse
+    cells upstream (models/forcefield.compute_energy_forces).
     """
     x = params["embedding"][atom_types]  # [A, H]
 
@@ -305,7 +314,8 @@ def _schnet_atom_energies(
             # (no pos dependence), so its grad-wrt-x cotangent is dead:
             # the backward kernel skips the scaled-chain family there.
             agg = cheb_cfconv_apply(
-                c, c2, w0, pos, h, rcut, config.precision, i > 0
+                c, c2, w0, pos, h, rcut, config.precision, i > 0,
+                cell=cell,
             )
             y = jnp.dot(agg, bp["lin2_w"], precision=prec) + bp["lin2_b"]
             x = x + (
@@ -415,9 +425,10 @@ def _schnet_atom_energies(
 
 
 def schnet_energy(
-    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix
+    params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix,
+    cell=None,
 ):
     """Total energy of one molecule (scalar)."""
     return jnp.sum(
-        schnet_atom_energies(params, config, pos, atom_types, nbr)
+        schnet_atom_energies(params, config, pos, atom_types, nbr, cell)
     )

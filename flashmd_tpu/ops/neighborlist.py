@@ -89,11 +89,16 @@ def _pairwise_displacements(
     """All-pairs displacement vectors dr[i, j] = pos[j] - pos[i], [A, A, 3]."""
     dr = pos[None, :, :] - pos[:, None, :]
     if cell is not None:
-        # Minimum-image convention: wrap fractional displacement to [-0.5, 0.5).
+        # Minimum-image convention: wrap fractional displacement to
+        # [-0.5, 0.5). HIGHEST precision is load-bearing: at DEFAULT the
+        # TPU MXU truncates operands to bf16, and a fractional coordinate
+        # near +-0.5 then rounds to the WRONG lattice image — a whole-box
+        # -length displacement error (the [A, A, 3] @ [3, 3] contraction
+        # is negligible work either way).
         cell = jnp.asarray(cell, dtype=pos.dtype)
-        frac = dr @ _inv_3x3(cell)
-        frac = frac - jnp.round(frac)
-        dr = frac @ cell
+        hp = jax.lax.Precision.HIGHEST
+        frac = jnp.matmul(dr, _inv_3x3(cell), precision=hp)
+        dr = dr - jnp.matmul(jnp.round(frac), cell, precision=hp)
     return dr
 
 
@@ -262,9 +267,9 @@ def wrap_positions(pos: jnp.ndarray, cell: jnp.ndarray) -> jnp.ndarray:
     unwrapped coordinates too, so wrapping is cosmetic/export-side.
     """
     cell = jnp.asarray(cell, dtype=pos.dtype)
-    frac = pos @ _inv_3x3(cell)
-    frac = frac - jnp.floor(frac)
-    return frac @ cell
+    hp = jax.lax.Precision.HIGHEST  # see _pairwise_displacements
+    frac = jnp.matmul(pos, _inv_3x3(cell), precision=hp)
+    return pos - jnp.matmul(jnp.floor(frac), cell, precision=hp)
 
 
 def suggest_capacity(n_true_max: int, slack: float = 1.25, align: int = 8):

@@ -134,13 +134,15 @@ def _pad_atoms(arr, a_pad, fill=0):
     return jnp.pad(arr, widths, constant_values=fill)
 
 
-def _tile_geometry(pos, pos_tile, rcut, a_pad, a_real, ta, t):
-    """d, z [TA, A_pad] for destination rows [t*TA, (t+1)*TA).
+def _tile_rel(pos, pos_tile, cell_ref=None, inv_ref=None):
+    """Pair displacement components rel_k[i, j] = pos_j^k - pos_i^k,
+    three [TA, A_pad] matrices (i = tile rows, j = all atoms).
 
-    pos_tile holds those rows (read from the ref with pl.ds — Mosaic
-    cannot lower dynamic_slice on values). Exact fp32 VPU differences
-    per coordinate; padding rows/columns are pushed beyond the cutoff
-    so (1-z)^2 kills them exactly.
+    With ``cell_ref``/``inv_ref`` ([3, 3] SMEM refs: lattice rows and the
+    precomputed inverse) the displacement is wrapped to the minimum image
+    — same convention as ops/neighborlist._pairwise_displacements
+    (frac = rel @ inv, rel -= round(frac) @ cell), unrolled to scalar
+    SMEM reads because Mosaic has no [TA, A_pad, 3] layouts.
     """
     p0 = pos[:, 0:1]
     p1 = pos[:, 1:2]
@@ -151,6 +153,55 @@ def _tile_geometry(pos, pos_tile, rcut, a_pad, a_real, ta, t):
     rel0 = p0.T - q0  # [TA, A_pad]
     rel1 = p1.T - q1
     rel2 = p2.T - q2
+    if cell_ref is not None:
+        f0 = (
+            rel0 * inv_ref[0, 0]
+            + rel1 * inv_ref[1, 0]
+            + rel2 * inv_ref[2, 0]
+        )
+        f1 = (
+            rel0 * inv_ref[0, 1]
+            + rel1 * inv_ref[1, 1]
+            + rel2 * inv_ref[2, 1]
+        )
+        f2 = (
+            rel0 * inv_ref[0, 2]
+            + rel1 * inv_ref[1, 2]
+            + rel2 * inv_ref[2, 2]
+        )
+        n0 = jnp.round(f0)
+        n1 = jnp.round(f1)
+        n2 = jnp.round(f2)
+        rel0 = rel0 - (
+            n0 * cell_ref[0, 0]
+            + n1 * cell_ref[1, 0]
+            + n2 * cell_ref[2, 0]
+        )
+        rel1 = rel1 - (
+            n0 * cell_ref[0, 1]
+            + n1 * cell_ref[1, 1]
+            + n2 * cell_ref[2, 1]
+        )
+        rel2 = rel2 - (
+            n0 * cell_ref[0, 2]
+            + n1 * cell_ref[1, 2]
+            + n2 * cell_ref[2, 2]
+        )
+    return rel0, rel1, rel2
+
+
+def _tile_geometry(
+    pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref=None, inv_ref=None
+):
+    """d, z [TA, A_pad] for destination rows [t*TA, (t+1)*TA).
+
+    pos_tile holds those rows (read from the ref with pl.ds — Mosaic
+    cannot lower dynamic_slice on values). Exact fp32 VPU differences
+    per coordinate; padding rows/columns are pushed beyond the cutoff
+    so (1-z)^2 kills them exactly. Optional cell_ref/inv_ref SMEM refs
+    apply the minimum-image convention (see _tile_rel).
+    """
+    rel0, rel1, rel2 = _tile_rel(pos, pos_tile, cell_ref, inv_ref)
     d2 = rel0 * rel0 + rel1 * rel1 + rel2 * rel2
     d = jnp.sqrt(d2 + 1e-12)
     rows = t * ta + jax.lax.broadcasted_iota(jnp.int32, (ta, a_pad), 0)
@@ -232,9 +283,14 @@ def _prec_of(precision):
 
 
 def _cheb_fwd_kernel(
-    pos_ref, x_ref, c_ref, w0_ref, out_ref,
-    *, order, rcut, a_pad, a_real, ta, precision,
+    pos_ref, x_ref, c_ref, w0_ref, *rest,
+    order, rcut, a_pad, a_real, ta, precision, has_cell=False,
 ):
+    if has_cell:
+        cell_ref, inv_ref, out_ref = rest
+    else:
+        cell_ref = inv_ref = None
+        (out_ref,) = rest
     n = N_CHAINS
     assert order % n == 0 and order >= 2 * n
     t = pl.program_id(1)
@@ -243,7 +299,7 @@ def _cheb_fwd_kernel(
     x = x_ref[0]
 
     _, z, _, _, _ = _tile_geometry(
-        pos, pos_tile, rcut, a_pad, a_real, ta, t
+        pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref
     )
     u2 = jnp.square(1.0 - z)
     tt, q = _chain_seeds(z, u2, n)
@@ -300,9 +356,15 @@ def _cheb_fwd_kernel(
 
 
 def _cheb_bwd_kernel(
-    pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, gpos_ref, gx_ref,
-    *, order, rcut, a_pad, a_real, ta, precision, need_gx=True,
+    pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, *rest,
+    order, rcut, a_pad, a_real, ta, precision, need_gx=True,
+    has_cell=False,
 ):
+    if has_cell:
+        cell_ref, inv_ref, gpos_ref, gx_ref = rest
+    else:
+        cell_ref = inv_ref = None
+        gpos_ref, gx_ref = rest
     n = N_CHAINS
     assert order % n == 0 and order >= 2 * n
     t = pl.program_id(1)
@@ -318,7 +380,7 @@ def _cheb_bwd_kernel(
     g = g_ref[0]  # [TA, F] — this tile's cotangent rows
 
     d, z, rows, cols, is_pad = _tile_geometry(
-        pos, pos_tile, rcut, a_pad, a_real, ta, t
+        pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref
     )
     # ONE chain family: That_m = (1-z) T_m(z). The distance gradient
     # reads it directly (c2 lives on the (1-z) T_m basis) and the gx
@@ -428,6 +490,37 @@ def _cheb_bwd_kernel(
     # ---- distance gradient -> position gradient, row and column sides
     keep = (d < rcut) & (rows != cols) & ~is_pad
     w_r = jnp.where(keep, gd / d, 0.0)  # [TA, A_pad]
+    if has_cell:
+        # Min-image pair shifts break the pos ⊙ rowsum - W @ pos identity
+        # (delta_ij = pos_j - pos_i - s_ij with pair-dependent s), so
+        # accumulate directly from the displacement components:
+        #   gpos_row[i]^k = -sum_j W[i,j] rel_k[i,j]     (dd/dpos_i)
+        #   gpos_col[j]^k = +sum_i W[i,j] rel_k[i,j]     (dd/dpos_j)
+        # rel is recomputed here (cheap VPU) instead of kept live across
+        # the order loop — the tile budget is sized without it.
+        rel0, rel1, rel2 = _tile_rel(pos, pos_tile, cell_ref, inv_ref)
+        wr0 = w_r * rel0
+        wr1 = w_r * rel1
+        wr2 = w_r * rel2
+        gpos_row = -jnp.concatenate(
+            [
+                jnp.sum(wr0, axis=1, keepdims=True),
+                jnp.sum(wr1, axis=1, keepdims=True),
+                jnp.sum(wr2, axis=1, keepdims=True),
+            ],
+            axis=1,
+        )  # [TA, 3]
+        gpos_ref[0, pl.ds(t * ta, ta), :] += gpos_row
+        gpos_col = jnp.concatenate(
+            [
+                jnp.sum(wr0, axis=0, keepdims=True).T,
+                jnp.sum(wr1, axis=0, keepdims=True).T,
+                jnp.sum(wr2, axis=0, keepdims=True).T,
+            ],
+            axis=1,
+        )  # [A_pad, 3]
+        gpos_ref[0] += gpos_col
+        return
     rowsum = jnp.sum(w_r, axis=1, keepdims=True)  # [TA, 1]
     gpos_row = pos_tile * rowsum - jnp.dot(
         w_r, pos, preferred_element_type=jnp.float32,
@@ -446,9 +539,23 @@ def _cheb_bwd_kernel(
     gpos_ref[0] += gpos_col
 
 
+def _cell_operands(cell):
+    """(extra in_specs, extra operands) for the min-image cell: the [3, 3]
+    lattice and its closed-form inverse as SMEM scalar tables."""
+    from ...ops.neighborlist import _inv_3x3
+
+    cell = jnp.asarray(cell, jnp.float32)
+    spec = pl.BlockSpec((3, 3), lambda s, t: (0, 0),
+                        memory_space=pltpu.SMEM)
+    return [spec, spec], [cell, _inv_3x3(cell)]
+
+
 def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
-                         tile_budget: int = 150_000):
-    """Forward kernel wrapper: (c [M,F], w0 [F], pos [A,3], x [A,F])."""
+                         tile_budget: int = 150_000, cell=None):
+    """Forward kernel wrapper: (c [M,F], w0 [F], pos [A,3], x [A,F]).
+
+    ``cell`` ([3, 3], rows = lattice vectors) switches pair geometry to
+    the minimum-image convention."""
     a = pos.shape[0]
     f = x.shape[-1]
     order = c.shape[0]
@@ -458,40 +565,48 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
     n_tiles = a_pad // ta
     kernel = functools.partial(
         _cheb_fwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
-        a_real=a, ta=ta, precision=precision,
+        a_real=a, ta=ta, precision=precision, has_cell=cell is not None,
     )
-    out = pl.pallas_call(
-        kernel,
-        interpret=_interpret(),
-        grid=(1, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((order, f), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
-    )(
+    in_specs = [
+        pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((order, f), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [
         _pad_atoms(pos.astype(jnp.float32), a_pad)[None],
         _pad_atoms(x.astype(jnp.float32), a_pad)[None],
         c.astype(jnp.float32),
         w0.astype(jnp.float32)[None, :],
-    )
+    ]
+    if cell is not None:
+        extra_specs, extra_ops = _cell_operands(cell)
+        in_specs += extra_specs
+        operands += extra_ops
+    out = pl.pallas_call(
+        kernel,
+        interpret=_interpret(),
+        grid=(1, n_tiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
+    )(*operands)
     return out[0, :a]
 
 
 def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
-                         need_gx=True, tile_budget: int | None = None):
+                         need_gx=True, tile_budget: int | None = None,
+                         cell=None):
     """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
 
     ``need_gx=False`` specializes the kernel to the distance-gradient-only
     variant (gx returned as zeros) — the gx contraction never runs.
+    ``cell`` switches to minimum-image geometry (matching the forward).
     """
     a = pos.shape[0]
     f = x.shape[-1]
@@ -503,33 +618,53 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
         # 74k (= the validated 272x272 single-tile size at A=266) is the
         # largest TA*A_pad at which the 8-group unrolled body fits the
         # 16 MB scoped-VMEM stack: 101.5k tiles (A=532 at the old 100k
-        # budget) overflow by 3.7 MB.
-        tile_budget = 74_000 if need_gx else 120_000
+        # budget) overflow by 3.7 MB. The min-image branch recomputes
+        # rel0/rel1/rel2 + three W⊙rel products after the order loop,
+        # which costs extra stack (74k overflows by 108 KB at order 96)
+        # — shave the budget accordingly.
+        if cell is not None:
+            tile_budget = 64_000 if need_gx else 104_000
+        else:
+            tile_budget = 74_000 if need_gx else 120_000
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
     kernel = functools.partial(
         _cheb_bwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
         a_real=a, ta=ta, precision=precision, need_gx=need_gx,
+        has_cell=cell is not None,
     )
+    in_specs = [
+        pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((order, f), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((order, f), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, f), lambda s, t: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        _pad_atoms(pos.astype(jnp.float32), a_pad)[None],
+        _pad_atoms(x.astype(jnp.float32), a_pad)[None],
+        c.astype(jnp.float32),
+        c2.astype(jnp.float32),
+        w0.astype(jnp.float32)[None, :],
+        _pad_atoms(g.astype(jnp.float32), a_pad)[None],
+    ]
+    if cell is not None:
+        extra_specs, extra_ops = _cell_operands(cell)
+        in_specs += extra_specs
+        operands += extra_ops
     gpos, gx = pl.pallas_call(
         kernel,
         interpret=_interpret(),
         grid=(1, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((order, f), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((order, f), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f), lambda s, t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ta, f), lambda s, t: (0, t, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -540,12 +675,5 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
             jax.ShapeDtypeStruct((1, a_pad, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, a_pad, f), jnp.float32),
         ),
-    )(
-        _pad_atoms(pos.astype(jnp.float32), a_pad)[None],
-        _pad_atoms(x.astype(jnp.float32), a_pad)[None],
-        c.astype(jnp.float32),
-        c2.astype(jnp.float32),
-        w0.astype(jnp.float32)[None, :],
-        _pad_atoms(g.astype(jnp.float32), a_pad)[None],
-    )
+    )(*operands)
     return gpos[0, :a], gx[0, :a]

@@ -461,12 +461,18 @@ class Simulation:
         return {**carry, "nbr_disp_max": jnp.maximum(prev, disp)}
 
     def _forces(self, carry: Dict, pos):
-        """Potential + forces at ``pos`` using the carry's neighbor list."""
+        """Potential + forces at ``pos`` using the carry's neighbor list.
+
+        The cell is forwarded for paths that consume it inside the model
+        (cheb minimum-image geometry); the xla path's periodicity rides
+        the neighbor matrix's shift vectors built in _rebuild_neighbors.
+        """
         return compute_energy_forces(
             self.model,
             pos,
             self.initial_system.atom_types,
             self._carry_nbr(carry),
+            cell=self.initial_system.cell,
         )
 
     def _init_carry(self, system: System, key) -> Dict:
@@ -567,23 +573,45 @@ class Simulation:
         ff = self.model
         pos = carry["pos"]
         types = self.initial_system.atom_types
-        nbr = build_neighbors(ff, pos, cell=self.initial_system.cell)
+        cell = self.initial_system.cell
+        nbr = (
+            build_neighbors(ff, pos, cell=cell)
+            if self._uses_neighbor_list()
+            else None
+        )
 
         from ..models.forcefield import total_energy
 
-        if self.save_energy_components:
+        # cheb consumes the ([S, 3, 3]) cell inside the model (min-image
+        # pair geometry); other paths read periodicity off the neighbor
+        # matrix's shift vectors.
+        model_cell = None
+        if (
+            cell is not None
+            and ff.schnet_config is not None
+            and ff.schnet_config.message_passing == "cheb"
+        ):
+            model_cell = jnp.asarray(cell)
+
+        def batch_components(p):
             _, comps = jax.vmap(
-                lambda q, n: total_energy(ff, q, types, n)
-            )(pos, nbr)
+                lambda q, n, mc: total_energy(ff, q, types, n, mc),
+                in_axes=(
+                    0,
+                    None if nbr is None else 0,
+                    None if model_cell is None else 0,
+                ),
+            )(p, nbr, model_cell)
+            return comps
+
+        if self.save_energy_components:
+            comps = batch_components(pos)
             for key in self.energy_components:
                 out[f"energy_component/{key}"] = comps[key]
         if self.save_force_components:
             for key in self.force_components:
                 def comp_energy(p, key=key):
-                    totals, comps = jax.vmap(
-                        lambda q, n: total_energy(ff, q, types, n)
-                    )(p, nbr)
-                    return jnp.sum(comps[key])
+                    return jnp.sum(batch_components(p)[key])
 
                 out[f"force_component/{key}"] = -jax.grad(comp_energy)(pos)
         return out

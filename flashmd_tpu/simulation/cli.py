@@ -228,8 +228,11 @@ def parse_simulation_config(
         logger.warning(f"Ignoring unknown simulation options: {unknown}")
 
     if ns.disable_optim:
+        # gptq=None + _disable_optimizations below; NOT via os.environ —
+        # mutating the process env would leak the opt-out into later
+        # parses in the same process (the reference mutates env only
+        # because its flags are read at import time, nvt_langevin.py:6-17).
         sim_kwargs["gptq"] = None
-        os.environ["FLASHMD_TPU_MESSAGE_PASSING"] = "xla"
 
     # Echo the config (reference cli.py:100-112).
     out_name = sim_kwargs.get("filename")
