@@ -40,6 +40,8 @@ def main():
     precision = os.environ.get("BENCH_PRECISION", "bf16")
     message_passing = os.environ.get("BENCH_MP", "cheb")
     cheb_order = os.environ.get("BENCH_ORDER")
+    cheb_order_deriv = os.environ.get("BENCH_ORDER_DERIV")
+    cheb_d_min = os.environ.get("BENCH_DMIN")
 
     ff, configs = cgschnet_1enh_like(
         n_atoms=n_atoms,
@@ -47,6 +49,8 @@ def main():
         precision=precision,
         message_passing=message_passing,
         cheb_order=int(cheb_order) if cheb_order else None,
+        cheb_order_deriv=int(cheb_order_deriv) if cheb_order_deriv else None,
+        cheb_d_min=float(cheb_d_min) if cheb_d_min else None,
     )
 
     sim = LangevinSimulation(

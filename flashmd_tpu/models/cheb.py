@@ -73,13 +73,30 @@ def chebyshev_nodes(n: int):
     return jnp.cos(math.pi * (k + 0.5) / n)
 
 
-def _cut_over_u2(u):
+def _sigma(rcut: float, d_min: float) -> float:
+    """Half-width of the fit domain relative to the cutoff:
+    sigma = (rcut - d_min) / (2 rcut); 1/2 on the full domain."""
+    if not 0.0 <= d_min < rcut:
+        raise ValueError(
+            f"cheb_d_min must be in [0, rcut) (got {d_min}, rcut {rcut})"
+        )
+    return (rcut - d_min) / (2.0 * rcut)
+
+
+def _cut_over_u2(u, sigma: float = 0.5):
     """cutoff(d) / (1-z)^2 where u = 1-z, stable for u -> 0.
 
-    For the cosine cutoff, cut(d(z)) = sin^2(pi u / 4), so
-    cut / u^2 = (pi/4)^2 sinc^2(u/4)  with sinc(x) = sin(pi x)/(pi x).
+    On the (possibly restricted) fit domain d = d_min + (z+1)(rcut-d_min)/2
+    the cosine cutoff is cut(d) = cos^2(pi d / (2 rcut)) =
+    sin^2(pi (rcut - d) / (2 rcut)) = sin^2(pi u sigma / 2) with
+    sigma = (rcut - d_min) / (2 rcut), so
+    cut / u^2 = (pi sigma / 2)^2 sinc^2(u sigma / 2)
+    with sinc(x) = sin(pi x)/(pi x) — cancellation-free for any d_min
+    (the full-domain sigma = 1/2 recovers the (pi/4)^2 sinc^2(u/4) form).
     """
-    return (math.pi / 4.0) ** 2 * jnp.square(jnp.sinc(u / 4.0))
+    return (math.pi * sigma / 2.0) ** 2 * jnp.square(
+        jnp.sinc(u * (sigma / 2.0))
+    )
 
 
 def _project(values, order: int, n_nodes: int):
@@ -105,12 +122,22 @@ def fit_chebyshev_filter(
     config,
     order: int = 64,
     n_nodes: int = 512,
+    order_deriv: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Fit the filter and its distance derivative; return (c, c2, W'(0)).
 
-    * ``c`` [M, F]:  W'(d) ~= (1-z)^2 sum_m c[m] T_m(z)
-    * ``c2`` [M, F]: dW'/dd(d) ~= (1-z) sum_m c2[m] T_m(z)
-    * ``w0`` [F]:    W'(0), for the exact self-pair subtraction.
+    * ``c`` [M1, F]:  W'(d) ~= (1-z)^2 sum_m c[m] T_m(z)
+    * ``c2`` [M2, F]: dW'/dd(d) ~= (1-z) sum_m c2[m] T_m(z)
+    * ``w0`` [F]:     W'(0), for the exact self-pair subtraction.
+
+    ``order_deriv`` truncates the derivative series INDEPENDENTLY of the
+    forward series (default: same order). The two series have different
+    bf16 fidelity floors — the derivative (force) series binds much
+    harder, so the forward order can drop well below it at equal force
+    error (measured grid in benchmarks/fidelity_asym.py: (64, 96) matches
+    the symmetric (88, 88) default at ~13% fewer kernel FLOPs). Both
+    projections use the same Chebyshev-Gauss nodes, so a lower order is
+    exactly the truncation of a higher-order fit.
 
     The derivative series lives on the (1-z) T_m basis: dW'/dd has an
     exact simple zero at the cutoff (W' = (1-z)^2 h), so factoring one
@@ -129,9 +156,12 @@ def fit_chebyshev_filter(
     from .radial_basis import gaussian_basis_apply
 
     _require_cheb_eligible_cutoff(config.cutoff)
+    order_deriv = order if order_deriv is None else order_deriv
     rcut = float(config.cutoff.cutoff_upper)
+    d_min = float(config.cheb_d_min)
+    sigma = _sigma(rcut, d_min)
     z = chebyshev_nodes(n_nodes)  # [N]
-    d = (z + 1.0) * (rcut / 2.0)
+    d = d_min + (z + 1.0) * ((rcut - d_min) / 2.0)
     u = 1.0 - z
 
     def w_of_d(dd):
@@ -144,13 +174,14 @@ def fit_chebyshev_filter(
         )
 
     w = w_of_d(d)  # [N, F]
-    h = w * _cut_over_u2(u)[:, None]  # [N, F] = W' / (1-z)^2
+    h = w * _cut_over_u2(u, sigma)[:, None]  # [N, F] = W' / (1-z)^2
     c = _project(h, order, n_nodes)
 
     # dW'/dd on the (1-z) T_m basis. With M(d) = MLP(rbf(d)) and the
-    # cosine cutoff cut = sin^2(pi u / 4):
-    #   dW'/dd / (1-z) = M'(d) u (pi/4)^2 sinc^2(u/4)
-    #                    - M(d) (pi^2 / (4 rcut)) sinc(u/2)
+    # cosine cutoff cut = sin^2(pi u sigma / 2) on the fit domain
+    # (sigma = (rcut - d_min) / (2 rcut); 1/2 on the full domain):
+    #   dW'/dd / (1-z) = M'(d) u (pi sigma/2)^2 sinc^2(u sigma/2)
+    #                    - M(d) (pi^2 sigma / (2 rcut)) sinc(u sigma)
     # (both factors regular at u -> 0, unlike dividing the raw derivative
     # by u at near-edge Chebyshev nodes).
     def m_scalar(dd):
@@ -158,10 +189,12 @@ def fit_chebyshev_filter(
 
     dm = jax.vmap(jax.jacfwd(m_scalar))(d)  # [N, F]
     h2 = (
-        dm * (u * _cut_over_u2(u))[:, None]
-        - w * ((math.pi**2 / (4.0 * rcut)) * jnp.sinc(u / 2.0))[:, None]
+        dm * (u * _cut_over_u2(u, sigma))[:, None]
+        - w * (
+            (math.pi**2 * sigma / (2.0 * rcut)) * jnp.sinc(u * sigma)
+        )[:, None]
     )
-    c2 = _project(h2, order, n_nodes)
+    c2 = _project(h2, order_deriv, n_nodes)
 
     # Exact self-pair value W'(z=-1) = (1-(-1))^2 sum_m c_m T_m(-1).
     signs = jnp.where(jnp.arange(order) % 2 == 0, 1.0, -1.0)
@@ -224,7 +257,7 @@ def _cutoff_np(cut, d):
 
 
 def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
-                              n_nodes=512):
+                              n_nodes=512, order_deriv=None):
     """float64 host-side version of :func:`fit_chebyshev_filter`.
 
     The in-jit fit evaluates the filter MLP with the accelerator's
@@ -241,10 +274,13 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
     import numpy as np
 
     _require_cheb_eligible_cutoff(config.cutoff)
+    order_deriv = order if order_deriv is None else order_deriv
     rcut = float(config.cutoff.cutoff_upper)
+    d_min = float(config.cheb_d_min)
+    sigma = _sigma(rcut, d_min)
     k = np.arange(n_nodes, dtype=np.float64)
     z = np.cos(np.pi * (k + 0.5) / n_nodes)
-    d = (z + 1.0) * (rcut / 2.0)
+    d = d_min + (z + 1.0) * ((rcut - d_min) / 2.0)
     u = 1.0 - z
 
     offset = np.asarray(rbf_params["offset"], dtype=np.float64)
@@ -271,12 +307,12 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
         return x @ last["w"] + last.get("b", 0.0)
 
     w = w_of_d(d)  # [N, F]
-    sinc = np.sinc(u / 4.0)
-    h = w * ((np.pi / 4.0) ** 2 * sinc * sinc)[:, None]
+    sinc = np.sinc(u * (sigma / 2.0))
+    h = w * ((np.pi * sigma / 2.0) ** 2 * sinc * sinc)[:, None]
 
-    m = np.arange(order, dtype=np.float64)
+    m = np.arange(max(order, order_deriv), dtype=np.float64)
     tmk = np.cos(m[:, None] * np.pi * (k[None, :] + 0.5) / n_nodes)
-    c = (2.0 / n_nodes) * (tmk @ h)
+    c = (2.0 / n_nodes) * (tmk[:order] @ h)
     c[0] *= 0.5
 
     # Derivative series on the (1-z) T_m basis (see fit_chebyshev_filter):
@@ -284,12 +320,12 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
     # analytic, so nothing singular is divided near u -> 0.
     eps = 1e-6
     dm = (w_of_d(d + eps) - w_of_d(d - eps)) / (2.0 * eps)
-    sinc_half = np.sinc(u / 2.0)
+    sinc_full = np.sinc(u * sigma)
     h2 = (
-        dm * (u * (np.pi / 4.0) ** 2 * sinc * sinc)[:, None]
-        - w * ((np.pi**2 / (4.0 * rcut)) * sinc_half)[:, None]
+        dm * (u * (np.pi * sigma / 2.0) ** 2 * sinc * sinc)[:, None]
+        - w * ((np.pi**2 * sigma / (2.0 * rcut)) * sinc_full)[:, None]
     )
-    c2 = (2.0 / n_nodes) * (tmk @ h2)
+    c2 = (2.0 / n_nodes) * (tmk[:order_deriv] @ h2)
     c2[0] *= 0.5
 
     signs = np.where(np.arange(order) % 2 == 0, 1.0, -1.0)
@@ -312,7 +348,8 @@ def attach_cheb_fit(params, config):
     """
     fits = tuple(
         fit_chebyshev_filter_host(
-            bp, params["rbf"], config, order=config.cheb_order
+            bp, params["rbf"], config, order=config.cheb_order,
+            order_deriv=config.cheb_order_deriv,
         )
         for bp in params["interactions"]
     )
@@ -338,11 +375,24 @@ def _pair_rel(pos, cell=None):
     return rel
 
 
-def _pair_z(pos, rcut, cell=None):
+def _pair_z(pos, rcut, cell=None, d_min: float = 0.0):
+    """Pair distances and fit-domain coordinates z in [-1, 1].
+
+    ``d_min`` > 0 restricts the Chebyshev fit domain to d in
+    [d_min, rcut] (z affine on that interval, cutoff zero still exactly
+    at z = 1); pairs closer than d_min clamp to z = -1 and get the
+    BOUNDED filter value at d_min instead of a runaway polynomial
+    extrapolation. Physical systems with a repulsive prior never
+    produce such pairs (the zoo chain floors at ~2.7 A) — the restriction
+    buys geometric convergence on the domain that actually occurs
+    (benchmarks/fit_domain_probe.py).
+    """
     rel = _pair_rel(pos, cell)
     d2 = jnp.sum(rel * rel, axis=-1)
     d = jnp.sqrt(d2 + 1e-12)  # diagonal-safe; grads vanish on the diagonal
-    z = jnp.minimum(2.0 * d / rcut - 1.0, 1.0)
+    z = jnp.clip(
+        (d - d_min) * (2.0 / (rcut - d_min)) - 1.0, -1.0, 1.0
+    )
     return d, z
 
 
@@ -363,6 +413,7 @@ def cheb_cfconv_apply(
     precision: str = "bf16",
     need_gx: bool = True,
     cell=None,
+    d_min: float = 0.0,
 ):
     """Dense Chebyshev CFConv for one molecule.
 
@@ -385,15 +436,23 @@ def cheb_cfconv_apply(
     schnet.py:275-290; its standard path supports PBC via the edge list,
     neighbor_list/torch_impl.py:102-163). The cell itself gets a zero
     cotangent (no barostat — fixed-cell NVT/NVE only).
+
+    ``d_min`` is the fit-domain lower bound the coefficients were fitted
+    on (see _pair_z and fit_chebyshev_filter); it must match the fit.
     """
-    return _cheb_cfconv(c, c2, w0, pos, x, cell, rcut, precision, need_gx)
+    return _cheb_cfconv(
+        c, c2, w0, pos, x, cell, rcut, precision, need_gx, d_min
+    )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def _cheb_cfconv(
-    c, c2, w0, pos, x, cell, rcut: float, precision: str, need_gx: bool
+    c, c2, w0, pos, x, cell, rcut: float, precision: str, need_gx: bool,
+    d_min: float,
 ):
-    out, _ = _cheb_fwd(c, c2, w0, pos, x, cell, rcut, precision, need_gx)
+    out, _ = _cheb_fwd(
+        c, c2, w0, pos, x, cell, rcut, precision, need_gx, d_min
+    )
     return out
 
 
@@ -430,15 +489,17 @@ def _cheb_forward_only(c, w0, z, x, precision):
     return out - w0[None, :] * x
 
 
-def _cheb_fwd(c, c2, w0, pos, x, cell, rcut, precision, need_gx=True):
+def _cheb_fwd(
+    c, c2, w0, pos, x, cell, rcut, precision, need_gx=True, d_min=0.0
+):
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_fwd_pallas
 
         out = cheb_conv_fwd_pallas(
-            c, w0, pos, x, rcut, precision, cell=cell
+            c, w0, pos, x, rcut, precision, cell=cell, d_min=d_min
         )
     else:
-        _, z = _pair_z(pos, rcut, cell)
+        _, z = _pair_z(pos, rcut, cell, d_min)
         out = _cheb_forward_only(c, w0, z, x, precision)
     return out, (c, c2, w0, pos, x, cell)
 
@@ -448,14 +509,14 @@ def _cell_cotangent(cell):
     return None if cell is None else jnp.zeros_like(cell)
 
 
-def _cheb_bwd(rcut, precision, need_gx, residuals, g):
+def _cheb_bwd(rcut, precision, need_gx, d_min, residuals, g):
     c, c2, w0, pos, x, cell = residuals
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_bwd_pallas
 
         gpos, gx = cheb_conv_bwd_pallas(
             c, c2, w0, pos, x, g, rcut, precision, need_gx=need_gx,
-            cell=cell,
+            cell=cell, d_min=d_min,
         )
         return (
             jnp.zeros_like(c),
@@ -467,7 +528,7 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
         )
     compute_dtype, prec = _dtypes(precision)
     a = pos.shape[0]
-    d, z = _pair_z(pos, rcut, cell)
+    d, z = _pair_z(pos, rcut, cell, d_min)
     u2 = jnp.square(1.0 - z)
     two_z = 2.0 * z
     gc = g.astype(compute_dtype)
@@ -504,12 +565,16 @@ def _cheb_bwd(rcut, precision, need_gx, residuals, g):
     if need_gx:
         gx = matvec_g(t_prev, 0) + matvec_g(t_cur, 1)
     gd = p_prev * u_m(0) + p_cur * u_m(1)
-    for m in range(2, c.shape[0]):
+    # The two series may have different (static) orders — the derivative
+    # series binds force fidelity harder, so c typically stops earlier
+    # (see fit_chebyshev_filter).
+    for m in range(2, max(c.shape[0], c2.shape[0])):
         t_next = two_z * t_cur - t_prev
         p_next = two_z * p_cur - p_prev
-        if need_gx:
+        if need_gx and m < c.shape[0]:
             gx = gx + matvec_g(t_next, m)
-        gd = gd + p_next * u_m(m)
+        if m < c2.shape[0]:
+            gd = gd + p_next * u_m(m)
         t_prev, t_cur = t_cur, t_next
         p_prev, p_cur = p_cur, p_next
 

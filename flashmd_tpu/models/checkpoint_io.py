@@ -561,7 +561,8 @@ def optimized_schnet_config(config: SchNetConfig) -> SchNetConfig:
     reference: src/flashmd/models/schnet.py:52-91; compile by default,
     base.py:360-369) — so a converted checkpoint must land on the fast path
     by default too: the Chebyshev matmul-only CFConv at bf16 with the
-    order-88 fidelity floor (see PERFORMANCE.md), when eligible. Eligibility
+    asymmetric-order fidelity floor (fwd 64 / deriv 96 — see
+    PERFORMANCE.md and benchmarks/fidelity_asym.py), when eligible. Eligibility
     is the same condition the cheb dispatch enforces
     (models/schnet.py message_passing="cheb"): a zero-lower CosineCutoff.
     Ineligible models keep the exact gather path ("xla").
@@ -581,11 +582,12 @@ def optimized_schnet_config(config: SchNetConfig) -> SchNetConfig:
         return dataclasses.replace(config, message_passing="xla")
     logger.info(
         "[convert] optimizations ON by default: message_passing='cheb', "
-        "precision='bf16', cheb_order=88 (use --disable_optim for the "
+        "precision='bf16', cheb_order=64/96 (use --disable_optim for the "
         "fp32/xla baseline path)."
     )
     return dataclasses.replace(
-        config, message_passing="cheb", precision="bf16", cheb_order=88
+        config, message_passing="cheb", precision="bf16",
+        cheb_order=64, cheb_order_deriv=96,
     )
 
 

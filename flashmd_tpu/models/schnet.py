@@ -79,8 +79,27 @@ class SchNetConfig:
     #   "cheb"   — Chebyshev-tabulated matmul-only CFConv (no neighbor
     #              list, no per-edge MLP; see flashmd_tpu.models.cheb).
     message_passing: str = "xla"
-    # Chebyshev expansion order for message_passing="cheb".
+    # Chebyshev expansion order for message_passing="cheb" (the forward
+    # filter series), and the independent order of the distance-derivative
+    # series (None -> same as cheb_order, resolved at use sites so that
+    # dataclasses.replace(cfg, cheb_order=N) keeps them coupled). The
+    # derivative series sets the force-fidelity floor, so it usually needs
+    # MORE terms than the forward series — asymmetric orders trade dead
+    # forward FLOPs for live derivative terms (measured grid:
+    # benchmarks/fidelity_asym.py).
     cheb_order: int = 128
+    cheb_order_deriv: Optional[int] = None
+    # Lower bound of the Chebyshev fit domain, in distance units
+    # (0 = fit on the full [0, rcut] interval, the semantics-exact
+    # default). Physical systems with a repulsive prior never produce
+    # pairs below their excluded-volume floor, and shrinking the fit
+    # interval buys geometric convergence: the same force fidelity at a
+    # substantially lower order (benchmarks/fit_domain_probe.py). Pairs
+    # closer than cheb_d_min clamp to the BOUNDED filter value at
+    # cheb_d_min (no polynomial runaway); the simulation engine samples
+    # a min-pair-distance soundness check at every export when this
+    # is nonzero (simulation/base.py).
+    cheb_d_min: float = 0.0
     # Rematerialization: "block" wraps each interaction block (including its
     # distance/RBF computation) in jax.checkpoint so the backward pass
     # recomputes the [A, K, F] intermediates instead of storing them —
@@ -292,9 +311,11 @@ def _schnet_atom_energies(
             )
         rcut = float(config.cutoff.cutoff_upper)
         prec = dot_precision(config.precision)
+        order_deriv = config.cheb_order_deriv or config.cheb_order
         fits = params.get("cheb_fit")
         if fits is not None and (
             fits[0][0].shape[0] != config.cheb_order
+            or fits[0][1].shape[0] != order_deriv
         ):
             fits = None  # stale precompute (order changed): refit in-jit
         for i, bp in enumerate(params["interactions"]):
@@ -307,7 +328,8 @@ def _schnet_atom_energies(
             else:
                 # Loop-invariant in the MD scan: XLA hoists the fit.
                 c, c2, w0 = fit_chebyshev_filter(
-                    bp, params["rbf"], config, order=config.cheb_order
+                    bp, params["rbf"], config, order=config.cheb_order,
+                    order_deriv=order_deriv,
                 )
             h = jnp.dot(x, bp["lin1_w"], precision=prec)
             # The first block's conv input derives from the embedding
@@ -315,7 +337,7 @@ def _schnet_atom_energies(
             # the backward kernel skips the scaled-chain family there.
             agg = cheb_cfconv_apply(
                 c, c2, w0, pos, h, rcut, config.precision, i > 0,
-                cell=cell,
+                cell=cell, d_min=float(config.cheb_d_min),
             )
             y = jnp.dot(agg, bp["lin2_w"], precision=prec) + bp["lin2_b"]
             x = x + (

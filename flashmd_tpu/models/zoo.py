@@ -171,6 +171,8 @@ def cgschnet_1enh_like(
     message_passing: str = "xla",
     seed: int = 0,
     cheb_order: Optional[int] = None,
+    cheb_order_deriv: Optional[int] = None,
+    cheb_d_min: Optional[float] = None,
 ) -> Tuple[ForceField, List[Configuration]]:
     """Flagship benchmark model: CGSchNet at 1ENH scale + priors.
 
@@ -191,12 +193,21 @@ def cgschnet_1enh_like(
         output_hidden_layer_widths=(128, 64),
         precision=precision,
         message_passing=message_passing,
-        # Order 88 is the bf16 default: 7.2e-3 max rel force error =
-        # 1.2x the 6.1e-3 floor that ANY bf16 evaluation of this model
-        # pays (straight-quantized exact MLP), at +7% throughput over
-        # order 96 (which sits exactly AT that floor, 6.0e-3). fp32
-        # parity runs use the full order (~2e-3, the fit floor).
-        cheb_order=cheb_order or (88 if precision.startswith("bf16") else 128),
+        # bf16 default: asymmetric orders (fwd 64, deriv 96). The
+        # derivative series sets the force-fidelity floor — the measured
+        # (M1, M2) error grid (benchmarks/fidelity_asym.py) shows
+        # (64, 96) at 6.9e-3 max rel force error vs the old symmetric
+        # 88 default's 6.5e-3 (both within the 7.2e-3 budget = 1.2x the
+        # 6.1e-3 floor ANY bf16 evaluation of this model pays), while
+        # cutting ~13% of the kernel matmul FLOPs (cost ~ 5*M1 + 3*M2
+        # at 3 interaction blocks). fp32 parity runs use the full
+        # symmetric order (~2e-3, the fit floor).
+        cheb_order=cheb_order or (64 if precision.startswith("bf16") else 128),
+        # An explicit symmetric cheb_order stays symmetric (deriv=None
+        # follows cheb_order); only the bf16 default is asymmetric.
+        cheb_order_deriv=cheb_order_deriv
+        or (96 if cheb_order is None and precision.startswith("bf16") else None),
+        cheb_d_min=cheb_d_min if cheb_d_min is not None else 0.0,
     )
     params = init_schnet(jax.random.PRNGKey(seed), config)
 

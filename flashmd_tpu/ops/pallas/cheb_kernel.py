@@ -80,11 +80,11 @@ def _fwd_unroll_groups(n_groups: int) -> int:
     return 2
 
 
-def _bwd_unroll_groups(n_groups: int) -> int:
-    """Groups per fori_loop iteration for the backward order loop.
+def _bwd_chunk_width(remaining: int) -> int:
+    """Groups per fori_loop iteration for a backward order-loop segment.
 
     0 means "no loop, unroll everything" — safe only when the whole
-    recurrence fits the scoped-VMEM stack (<= BWD_UNROLL_GROUPS groups).
+    segment fits the scoped-VMEM stack (<= BWD_UNROLL_GROUPS groups).
     Otherwise the width is shrunk until the loop has >= 2 iterations:
     JAX inlines single-iteration fori_loops, which silently recreates
     the full unroll and OOMs the stack (seen at order 64: 14 remaining
@@ -94,7 +94,6 @@ def _bwd_unroll_groups(n_groups: int) -> int:
     allocator is kinder to pow2 unroll bodies (all measured,
     benchmarks/kernel_bwd_unroll.py).
     """
-    remaining = n_groups - 2
     if remaining <= BWD_UNROLL_GROUPS:
         return 0
     for gp in (8, 4, 2):
@@ -104,6 +103,48 @@ def _bwd_unroll_groups(n_groups: int) -> int:
         f"no pow2 unroll width <= {BWD_UNROLL_GROUPS} fits "
         f"{remaining} remaining groups"
     )
+
+
+def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs):
+    """Chunk-unrolled recurrence segment over chain groups
+    [g_start, g_end) of the backward order loop.
+
+    ``step(h_stacked, m, accs) -> accs`` consumes one group's stacked
+    chain values at coefficient base row ``m`` and returns the updated
+    accumulator tuple; ``(hp, hc, *accs)`` is the fori_loop carry. The
+    body is double-stepped so carries return in the SAME positions (a
+    permuted carry layout makes Mosaic insert whole-buffer copies every
+    iteration); tail groups run straight-line after the loop. Asymmetric
+    forward/derivative orders split the order loop into one segment per
+    live chain set, each chunked independently.
+    """
+    remaining = g_end - g_start
+    if remaining <= 0:
+        return hp, hc, accs
+    gp = _bwd_chunk_width(remaining)
+    n_iter = remaining // gp if gp else 0
+
+    def body(i, carry):
+        hp, hc = carry[0], carry[1]
+        accs = tuple(carry[2:])
+        for k in range(gp // 2):
+            m = (g_start + gp * i + 2 * k) * N_CHAINS
+            h1 = qs * hc - hp
+            accs = step(h1, m, accs)
+            h2 = qs * h1 - hc
+            accs = step(h2, m + N_CHAINS, accs)
+            hp, hc = h1, h2
+        return (hp, hc, *accs)
+
+    if n_iter:
+        out = jax.lax.fori_loop(0, n_iter, body, (hp, hc, *accs))
+        hp, hc = out[0], out[1]
+        accs = tuple(out[2:])
+    for g in range(g_start + n_iter * gp, g_end):
+        h_next = qs * hc - hp
+        accs = step(h_next, g * N_CHAINS, accs)
+        hp, hc = hc, h_next
+    return hp, hc, accs
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -191,7 +232,8 @@ def _tile_rel(pos, pos_tile, cell_ref=None, inv_ref=None):
 
 
 def _tile_geometry(
-    pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref=None, inv_ref=None
+    pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref=None, inv_ref=None,
+    d_min=0.0,
 ):
     """d, z [TA, A_pad] for destination rows [t*TA, (t+1)*TA).
 
@@ -200,6 +242,12 @@ def _tile_geometry(
     per coordinate; padding rows/columns are pushed beyond the cutoff
     so (1-z)^2 kills them exactly. Optional cell_ref/inv_ref SMEM refs
     apply the minimum-image convention (see _tile_rel).
+
+    ``d_min`` restricts the fit domain: z is affine on [d_min, rcut]
+    (cutoff zero still exactly at z = 1) and clamps to -1 below d_min —
+    the bounded filter value at d_min instead of polynomial runaway
+    (see models/cheb._pair_z; physical systems with a repulsive prior
+    never produce such pairs).
     """
     rel0, rel1, rel2 = _tile_rel(pos, pos_tile, cell_ref, inv_ref)
     d2 = rel0 * rel0 + rel1 * rel1 + rel2 * rel2
@@ -208,7 +256,9 @@ def _tile_geometry(
     cols = jax.lax.broadcasted_iota(jnp.int32, (ta, a_pad), 1)
     is_pad = (rows >= a_real) | (cols >= a_real)
     d = jnp.where(is_pad, 2.0 * rcut, d)
-    z = jnp.minimum(2.0 * d / rcut - 1.0, 1.0)
+    z = jnp.clip(
+        (d - d_min) * (2.0 / (rcut - d_min)) - 1.0, -1.0, 1.0
+    )
     return d, z, rows, cols, is_pad
 
 
@@ -284,7 +334,7 @@ def _prec_of(precision):
 
 def _cheb_fwd_kernel(
     pos_ref, x_ref, c_ref, w0_ref, *rest,
-    order, rcut, a_pad, a_real, ta, precision, has_cell=False,
+    order, rcut, a_pad, a_real, ta, precision, has_cell=False, d_min=0.0,
 ):
     if has_cell:
         cell_ref, inv_ref, out_ref = rest
@@ -299,7 +349,8 @@ def _cheb_fwd_kernel(
     x = x_ref[0]
 
     _, z, _, _, _ = _tile_geometry(
-        pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref
+        pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref,
+        d_min,
     )
     u2 = jnp.square(1.0 - z)
     tt, q = _chain_seeds(z, u2, n)
@@ -357,8 +408,8 @@ def _cheb_fwd_kernel(
 
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, *rest,
-    order, rcut, a_pad, a_real, ta, precision, need_gx=True,
-    has_cell=False,
+    order_gx, order_gd, rcut, a_pad, a_real, ta, precision, need_gx=True,
+    has_cell=False, d_min=0.0,
 ):
     if has_cell:
         cell_ref, inv_ref, gpos_ref, gx_ref = rest
@@ -366,7 +417,9 @@ def _cheb_bwd_kernel(
         cell_ref = inv_ref = None
         gpos_ref, gx_ref = rest
     n = N_CHAINS
-    assert order % n == 0 and order >= 2 * n
+    assert order_gd % n == 0 and order_gd >= 2 * n
+    if need_gx:
+        assert order_gx % n == 0 and order_gx >= 2 * n
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -380,7 +433,8 @@ def _cheb_bwd_kernel(
     g = g_ref[0]  # [TA, F] — this tile's cotangent rows
 
     d, z, rows, cols, is_pad = _tile_geometry(
-        pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref
+        pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref,
+        d_min,
     )
     # ONE chain family: That_m = (1-z) T_m(z). The distance gradient
     # reads it directly (c2 lives on the (1-z) T_m basis) and the gx
@@ -420,46 +474,49 @@ def _cheb_bwd_kernel(
 
     gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
 
-    # CHUNK-UNROLLED order loop: like the forward, straight-line code lets
-    # Mosaic overlap each group's MXU matmuls with the next group's VPU
-    # recurrence update — but a FULL unroll of the backward blows the
-    # 16 MB scoped-VMEM stack at the single-tile size (needs 27 MB;
-    # shrinking tiles to fit costs more than the loop does). Unrolling
-    # BWD_UNROLL_GROUPS groups per fori_loop iteration (tail groups
-    # straight-line after the loop) keeps the stack under the limit at
-    # full tile size and is bit-exact: 54.0 -> 41.4 us/mol at order 96
+    # CHUNK-UNROLLED order loop (see _run_bwd_groups): like the forward,
+    # straight-line code lets Mosaic overlap each group's MXU matmuls with
+    # the next group's VPU recurrence update — but a FULL unroll of the
+    # backward blows the 16 MB scoped-VMEM stack at the single-tile size
+    # (needs 27 MB; shrinking tiles to fit costs more than the loop does).
+    # Unrolling BWD_UNROLL_GROUPS groups per fori_loop iteration (tail
+    # groups straight-line after the loop) keeps the stack under the limit
+    # at full tile size and is bit-exact: 54.0 -> 41.4 us/mol at order 96
     # (benchmarks/kernel_bwd_unroll.py; 10 groups/iter already OOMs).
-    n_groups = order // n
-    gp = _bwd_unroll_groups(n_groups)
-    n_iter = (n_groups - 2) // gp if gp else 0
+    #
+    # ASYMMETRIC ORDERS: the gx chain consumes c (order_gx rows) and the
+    # gd chain c2 (order_gd rows); the shared recurrence runs to the max,
+    # with the shorter chain's matmuls simply absent from the later
+    # segment — that is the whole payoff (the derivative series needs
+    # more terms than the forward series at equal force fidelity, so
+    # order_gx < order_gd skips dead gx work; benchmarks/fidelity_asym.py).
+    groups_gd = order_gd // n
+
+    def step_gd(h, m, accs):
+        return (accs[0] + chain_gd(h, m),)
+
     if need_gx:
+        groups_gx = order_gx // n
+        shared = min(groups_gx, groups_gd)
         gx_acc = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
 
-        def body(i, carry):
-            hp, hc, gxa, gda = carry
-            # double-stepped so carries return in the SAME positions (a
-            # permuted carry layout makes Mosaic insert whole-buffer
-            # copies every iteration)
-            for k in range(gp // 2):
-                m = (gp * i + 2 * k) * n + 2 * n
-                h1 = qs * hc - hp
-                gxa = gxa + chain_gx(h1, m)
-                gda = gda + chain_gd(h1, m)
-                h2 = qs * h1 - hc
-                gxa = gxa + chain_gx(h2, m + n)
-                gda = gda + chain_gd(h2, m + n)
-                hp, hc = h1, h2
-            return (hp, hc, gxa, gda)
+        def step_both(h, m, accs):
+            return (accs[0] + chain_gx(h, m), accs[1] + chain_gd(h, m))
 
-        if n_iter:
-            hs_prev, hs_cur, gx_acc, gd = jax.lax.fori_loop(
-                0, n_iter, body, (hs_prev, hs_cur, gx_acc, gd)
+        def step_gx(h, m, accs):
+            return (accs[0] + chain_gx(h, m),)
+
+        hs_prev, hs_cur, (gx_acc, gd) = _run_bwd_groups(
+            2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both, qs
+        )
+        if groups_gx > shared:
+            hs_prev, hs_cur, (gx_acc,) = _run_bwd_groups(
+                shared, groups_gx, hs_prev, hs_cur, (gx_acc,), step_gx, qs
             )
-        for gidx in range(2 + n_iter * gp, n_groups):
-            h_next = qs * hs_cur - hs_prev
-            gx_acc = gx_acc + chain_gx(h_next, gidx * n)
-            gd = gd + chain_gd(h_next, gidx * n)
-            hs_prev, hs_cur = hs_cur, h_next
+        elif groups_gd > shared:
+            hs_prev, hs_cur, (gd,) = _run_bwd_groups(
+                shared, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs
+            )
 
         gx_ref[0] += gx_acc
         # self-pair subtraction contributes only to this tile's rows
@@ -467,25 +524,9 @@ def _cheb_bwd_kernel(
     else:
         # First interaction block: the conv input is the pos-independent
         # embedding, so the gx cotangent path is dead — only gd runs.
-        def body(i, carry):
-            hp, hc, gda = carry
-            for k in range(gp // 2):
-                m = (gp * i + 2 * k) * n + 2 * n
-                h1 = qs * hc - hp
-                gda = gda + chain_gd(h1, m)
-                h2 = qs * h1 - hc
-                gda = gda + chain_gd(h2, m + n)
-                hp, hc = h1, h2
-            return (hp, hc, gda)
-
-        if n_iter:
-            hs_prev, hs_cur, gd = jax.lax.fori_loop(
-                0, n_iter, body, (hs_prev, hs_cur, gd)
-            )
-        for gidx in range(2 + n_iter * gp, n_groups):
-            h_next = qs * hs_cur - hs_prev
-            gd = gd + chain_gd(h_next, gidx * n)
-            hs_prev, hs_cur = hs_cur, h_next
+        hs_prev, hs_cur, (gd,) = _run_bwd_groups(
+            2, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs
+        )
 
     # ---- distance gradient -> position gradient, row and column sides
     keep = (d < rcut) & (rows != cols) & ~is_pad
@@ -551,11 +592,13 @@ def _cell_operands(cell):
 
 
 def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
-                         tile_budget: int = 150_000, cell=None):
+                         tile_budget: int = 150_000, cell=None,
+                         d_min: float = 0.0):
     """Forward kernel wrapper: (c [M,F], w0 [F], pos [A,3], x [A,F]).
 
     ``cell`` ([3, 3], rows = lattice vectors) switches pair geometry to
-    the minimum-image convention."""
+    the minimum-image convention. ``d_min`` is the fit-domain lower
+    bound the coefficients were fitted on (see _tile_geometry)."""
     a = pos.shape[0]
     f = x.shape[-1]
     order = c.shape[0]
@@ -566,6 +609,7 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
     kernel = functools.partial(
         _cheb_fwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
         a_real=a, ta=ta, precision=precision, has_cell=cell is not None,
+        d_min=float(d_min),
     )
     in_specs = [
         pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
@@ -601,8 +645,15 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
 
 def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
                          need_gx=True, tile_budget: int | None = None,
-                         cell=None):
+                         cell=None, d_min: float = 0.0):
     """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
+
+    ``c`` [M1, F] and ``c2`` [M2, F] may have DIFFERENT orders: the gx
+    chain consumes c, the distance-gradient chain c2, and the shared
+    recurrence runs to max(M1, M2) with the shorter chain's matmuls
+    simply absent from the later groups (the production bf16 default is
+    M1=64 < M2=96 — the derivative series binds force fidelity harder;
+    benchmarks/fidelity_asym.py).
 
     ``need_gx=False`` specializes the kernel to the distance-gradient-only
     variant (gx returned as zeros) — the gx contraction never runs.
@@ -610,7 +661,8 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     """
     a = pos.shape[0]
     f = x.shape[-1]
-    order = c.shape[0]
+    order_gx = c.shape[0]
+    order_gd = c2.shape[0]
     a_pad = _round_up(a, 8)
     if tile_budget is None:
         # Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q,
@@ -630,18 +682,19 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
     kernel = functools.partial(
-        _cheb_bwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
+        _cheb_bwd_kernel, order_gx=order_gx, order_gd=order_gd,
+        rcut=float(rcut), a_pad=a_pad,
         a_real=a, ta=ta, precision=precision, need_gx=need_gx,
-        has_cell=cell is not None,
+        has_cell=cell is not None, d_min=float(d_min),
     )
     in_specs = [
         pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, a_pad, f), lambda s, t: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((order, f), lambda s, t: (0, 0),
+        pl.BlockSpec((order_gx, f), lambda s, t: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((order, f), lambda s, t: (0, 0),
+        pl.BlockSpec((order_gd, f), lambda s, t: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, f), lambda s, t: (0, 0),
                      memory_space=pltpu.VMEM),

@@ -552,6 +552,7 @@ class Simulation:
             out["nbr_n_max"] = carry["nbr_n_max"]
         if "nbr_disp_max" in carry:
             out["nbr_disp_max"] = carry["nbr_disp_max"]
+        out.update(self._pair_floor_outputs(carry))
         if self.dump_neighbor_list and "nbr_idx" in carry:
             out["nbr_idx"] = carry["nbr_idx"]
             out["nbr_mask"] = carry["nbr_mask"]
@@ -562,6 +563,43 @@ class Simulation:
         if self.save_energy_components or self.save_force_components:
             out.update(self._component_outputs(carry))
         return out
+
+    def _pair_floor_outputs(self, carry: Dict) -> Dict:
+        """Sampled min-pair-distance soundness check for the restricted
+        Chebyshev fit domain (SchNetConfig.cheb_d_min > 0).
+
+        The restricted fit clamps pairs below cheb_d_min to the bounded
+        filter value at cheb_d_min; physically such pairs never occur
+        (the repulsive prior floors the approach distance), but that
+        assumption must be CHECKED, not assumed — same policy as the
+        Verlet-skin displacement guard. One [A, A] distance reduction
+        per saved frame (~1/600 of a step's matmul work), verified at
+        export by _check_divergence.
+        """
+        ff = self.model
+        cfg = getattr(ff, "schnet_config", None) if ff is not None else None
+        if (
+            cfg is None
+            or getattr(cfg, "cheb_d_min", 0.0) <= 0.0
+            or cfg.message_passing != "cheb"
+        ):
+            return {}
+        from ..models.cheb import _pair_rel
+
+        cell = self.initial_system.cell
+
+        def min_pair(pos_one, cell_one):
+            rel = _pair_rel(pos_one.astype(jnp.float32), cell_one)
+            d2 = jnp.sum(rel * rel, axis=-1)
+            a = pos_one.shape[0]
+            d2 = d2 + jnp.eye(a, dtype=d2.dtype) * 1e12  # mask self-pairs
+            return jnp.sqrt(jnp.min(d2))
+
+        cell_mapped = cell is not None and jnp.ndim(cell) == 3
+        d_min_seen = jax.vmap(
+            min_pair, in_axes=(0, 0 if cell_mapped else None)
+        )(carry["pos"], cell)
+        return {"pair_d_min": jnp.min(d_min_seen)}
 
     def _component_outputs(self, carry: Dict) -> Dict:
         """Per-model energy/force components at the frame position.
@@ -820,6 +858,19 @@ class Simulation:
                     f"skin/2 is {half_skin:.4f}, so forces may have used a "
                     "stale neighbor list. Decrease "
                     "neighbor_rebuild_interval or increase neighbor_skin.",
+                    RuntimeWarning,
+                )
+        if "pair_d_min" in frames_np and self.model is not None:
+            d_seen = float(np.min(frames_np["pair_d_min"]))
+            floor = float(self.model.schnet_config.cheb_d_min)
+            if d_seen < floor:
+                warnings.warn(
+                    f"Chebyshev fit-domain floor violated: a pair came "
+                    f"within {d_seen:.4f} but the filter was fitted on "
+                    f"[{floor}, rcut] (cheb_d_min). Forces for that pair "
+                    "used the clamped d_min filter value. Lower "
+                    "cheb_d_min (0 restores the full-domain fit) or "
+                    "strengthen the repulsive prior.",
                     RuntimeWarning,
                 )
 

@@ -293,6 +293,18 @@ def parse_simulation_config(
                     model.schnet_config, message_passing=mp_override
                 )
             )
+        # Opt-in fit-domain restriction (SchNetConfig.cheb_d_min): fit the
+        # Chebyshev filter on [d_min, rcut] only. Off by default for user
+        # checkpoints (exact [0, rcut] semantics); sound when the system's
+        # repulsive prior floors the approach distance above d_min — the
+        # engine samples a min-pair-distance check at every export.
+        dmin_override = os.environ.get("FLASHMD_TPU_CHEB_DMIN")
+        if dmin_override and not (ns.disable_optim or env_disable):
+            model = model.replace(
+                schnet_config=dataclasses.replace(
+                    model.schnet_config, cheb_d_min=float(dmin_override)
+                )
+            )
 
     simulation = simulation_class(**sim_kwargs)
     betas = config.get("betas")

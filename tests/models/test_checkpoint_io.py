@@ -107,8 +107,8 @@ def test_converted_energies_match_reference(saved_checkpoint):
 
 def test_default_conversion_is_optimized(saved_checkpoint):
     """VERDICT r1 #3: a converted checkpoint must land on the fast path by
-    default (cheb/bf16 at the order-88 fidelity floor), mirroring the
-    reference's optimizations-on-by-default
+    default (cheb/bf16 at the asymmetric 64/96 fidelity floor), mirroring
+    the reference's optimizations-on-by-default
     (reference: src/flashmd/models/schnet.py:52-91)."""
     ref = load_reference_checkpoint(saved_checkpoint["model_path"])
     configs = load_reference_configurations(
@@ -117,7 +117,8 @@ def test_default_conversion_is_optimized(saved_checkpoint):
     ff = build_forcefield(ref, configs[0], neighbor_capacity=A)
     assert ff.schnet_config.message_passing == "cheb"
     assert ff.schnet_config.precision == "bf16"
-    assert ff.schnet_config.cheb_order == 88
+    assert ff.schnet_config.cheb_order == 64
+    assert ff.schnet_config.cheb_order_deriv == 96
     # and the optimized field still evaluates finitely on the real molecule
     pos = jnp.asarray(saved_checkpoint["pos"], dtype=jnp.float32)[None]
     types = jnp.asarray(saved_checkpoint["types"], dtype=jnp.int32)

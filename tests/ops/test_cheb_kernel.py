@@ -101,9 +101,9 @@ def test_bwd_kernel_matches_jnp(fit, a, budget, need_gx):
     )
 
 
-def _jnp_bwd(c, c2, w0, pos, x, g, need_gx, cell=None):
+def _jnp_bwd(c, c2, w0, pos, x, g, need_gx, cell=None, d_min=0.0):
     grads = _cheb_bwd(
-        RCUT, "fp32", need_gx, (c, c2, w0, pos, x, cell), g
+        RCUT, "fp32", need_gx, d_min, (c, c2, w0, pos, x, cell), g
     )
     return None, grads[3], grads[4]
 
@@ -116,11 +116,11 @@ def test_kernels_chunked_order_loop(fit, order, need_gx):
     tail 6), vs the same-order jnp reference. The forward's full unroll
     and the backward's loop+tail must agree with the jnp recurrence at
     every width (regression for the unroll-width selection logic)."""
-    from flashmd_tpu.ops.pallas.cheb_kernel import _bwd_unroll_groups
+    from flashmd_tpu.ops.pallas.cheb_kernel import _bwd_chunk_width
 
-    # the widths this test claims to cover
-    assert _bwd_unroll_groups(48 // 4) == 4
-    assert _bwd_unroll_groups(96 // 4) == 8
+    # the widths this test claims to cover (remaining = groups - 2 seeds)
+    assert _bwd_chunk_width(48 // 4 - 2) == 4
+    assert _bwd_chunk_width(96 // 4 - 2) == 8
 
     rng = np.random.default_rng(11)
     c = jnp.asarray(rng.normal(size=(order, F)) / order, jnp.float32)
@@ -145,6 +145,167 @@ def test_kernels_chunked_order_loop(fit, order, need_gx):
     np.testing.assert_allclose(
         np.asarray(gx_k), np.asarray(gx_ref), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize(
+    "order_fwd,order_deriv",
+    [
+        (64, 96),  # production default: short fwd series, long deriv
+        (96, 64),  # reverse direction (gx segment after the shared one)
+        (16, 96),  # shared segment is seeds-only territory + long tail
+    ],
+)
+@pytest.mark.parametrize("need_gx", [True, False])
+def test_bwd_kernel_asymmetric_orders(fit, order_fwd, order_deriv, need_gx):
+    """Asymmetric forward/derivative series orders: the backward runs the
+    shared recurrence to max(M1, M2) with the shorter chain's matmuls
+    absent from the later segment (the production bf16 default is
+    (64, 96) — benchmarks/fidelity_asym.py). Checked against the jnp
+    reference with the same truncated coefficient tables, single- and
+    multi-tile."""
+    rng = np.random.default_rng(21)
+    c = jnp.asarray(rng.normal(size=(order_fwd, F)) / order_fwd, jnp.float32)
+    c2 = jnp.asarray(
+        rng.normal(size=(order_deriv, F)) / order_deriv, jnp.float32
+    )
+    w0 = jnp.asarray(rng.normal(size=(F,)), jnp.float32)
+    for a, budget in ((23, 150_000), (48, 500)):
+        pos, x, g = _random_inputs(a, seed=17)
+        gpos_k, gx_k = cheb_conv_bwd_pallas(
+            c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=need_gx,
+            tile_budget=budget,
+        )
+        _, gpos_ref, gx_ref = _jnp_bwd(c, c2, w0, pos, x, g, need_gx)
+        np.testing.assert_allclose(
+            np.asarray(gpos_k), np.asarray(gpos_ref), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_k), np.asarray(gx_ref), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_asymmetric_fit_is_truncation(fit):
+    """fit_chebyshev_filter at (order, order_deriv) must equal the leading
+    rows of the symmetric fit at max(order, order_deriv) — both
+    projections use the same Chebyshev-Gauss nodes."""
+    cfg = SchNetConfig(
+        hidden_channels=F,
+        embedding_size=4,
+        num_filters=F,
+        num_rbf=9,
+        num_interactions=1,
+        cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(8,),
+    )
+    params = init_schnet(jax.random.PRNGKey(0), cfg)
+    bp, rbf = params["interactions"][0], params["rbf"]
+    c_full, c2_full, _ = fit_chebyshev_filter(bp, rbf, cfg, order=32)
+    c_a, c2_a, w0_a = fit_chebyshev_filter(
+        bp, rbf, cfg, order=16, order_deriv=32
+    )
+    np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_full[:16]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(c2_a), np.asarray(c2_full),
+                               rtol=1e-6, atol=1e-7)
+    # w0 reflects the TRUNCATED forward series (exact self-pair removal)
+    signs = np.where(np.arange(16) % 2 == 0, 1.0, -1.0)
+    np.testing.assert_allclose(
+        np.asarray(w0_a), 4.0 * (signs @ np.asarray(c_a)), rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("need_gx", [True, False])
+def test_kernels_domain_restricted(fit, need_gx):
+    """d_min > 0 (restricted fit domain): kernel z mapping must match the
+    jnp _pair_z mapping, single- and multi-tile, including pairs BELOW
+    d_min (clamped to the bounded z = -1 value, no runaway)."""
+    c, c2, w0 = fit
+    d_min = 1.2
+    for a, budget in ((23, 150_000), (48, 500)):
+        pos, x, g = _random_inputs(a, seed=5)
+        # force at least one sub-d_min pair (well below d_min, above 0)
+        pos = pos.at[1].set(pos[0] + jnp.asarray([0.4, 0.2, 0.1]))
+        out_k = cheb_conv_fwd_pallas(
+            c, w0, pos, x, RCUT, "fp32", tile_budget=budget, d_min=d_min
+        )
+        _, z = _pair_z(pos, RCUT, d_min=d_min)
+        out_ref = _cheb_forward_only(c, w0, z, x, "fp32")
+        np.testing.assert_allclose(
+            np.asarray(out_k), np.asarray(out_ref), rtol=2e-5, atol=2e-5
+        )
+        assert np.all(np.isfinite(np.asarray(out_k)))
+
+        gpos_k, gx_k = cheb_conv_bwd_pallas(
+            c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=need_gx,
+            tile_budget=budget, d_min=d_min,
+        )
+        _, gpos_ref, gx_ref = _jnp_bwd(
+            c, c2, w0, pos, x, g, need_gx, d_min=d_min
+        )
+        np.testing.assert_allclose(
+            np.asarray(gpos_k), np.asarray(gpos_ref), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(gx_k), np.asarray(gx_ref), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_domain_restricted_fit_accuracy():
+    """A restricted-domain fit must reproduce the exact composed filter on
+    [d_min, rcut] far better than the same-order full-domain fit (the
+    point of cheb_d_min), and stay bounded below d_min."""
+    import dataclasses
+
+    from flashmd_tpu.models.cheb import fit_chebyshev_filter_host
+    from flashmd_tpu.models.mlp import mlp_apply
+    from flashmd_tpu.models.radial_basis import gaussian_basis_apply
+
+    cfg0 = SchNetConfig(
+        hidden_channels=F,
+        embedding_size=4,
+        num_filters=F,
+        num_rbf=24,
+        num_interactions=1,
+        cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(8,),
+    )
+    params = init_schnet(jax.random.PRNGKey(2), cfg0)
+    bp, rbf = params["interactions"][0], params["rbf"]
+
+    d_min = 1.5
+    order = 24
+    cfg_r = dataclasses.replace(cfg0, cheb_d_min=d_min)
+    c_full, _, _ = fit_chebyshev_filter_host(bp, rbf, cfg0, order=order)
+    c_rest, _, _ = fit_chebyshev_filter_host(bp, rbf, cfg_r, order=order)
+
+    d = jnp.linspace(d_min, RCUT - 1e-4, 801)
+    rbf_v = gaussian_basis_apply(rbf, cfg0.rbf_config, d)
+    w_exact = mlp_apply(
+        bp["filter"], rbf_v, activation="tanh", precision="fp32"
+    ) * cfg0.cutoff(d)[:, None]
+
+    def eval_series(c, d_min_fit):
+        zp = jnp.clip(
+            (d - d_min_fit) * (2.0 / (RCUT - d_min_fit)) - 1.0, -1.0, 1.0
+        )
+        t_prev, t_cur = jnp.ones_like(zp), zp
+        acc = c[0][None, :] * t_prev[:, None] + c[1][None, :] * t_cur[:, None]
+        for m in range(2, c.shape[0]):
+            t_next = 2.0 * zp * t_cur - t_prev
+            acc = acc + c[m][None, :] * t_next[:, None]
+            t_prev, t_cur = t_cur, t_next
+        return jnp.square(1.0 - zp)[:, None] * acc
+
+    err_full = np.abs(np.asarray(eval_series(c_full, 0.0) - w_exact)).max()
+    err_rest = np.abs(np.asarray(eval_series(c_rest, d_min) - w_exact)).max()
+    scale = np.abs(np.asarray(w_exact)).max()
+    assert err_rest < err_full / 3, (err_rest / scale, err_full / scale)
+    # below d_min the restricted series stays bounded at the d_min value
+    d_low = jnp.asarray([0.3, 0.8, d_min])
+    zp_low = jnp.clip(
+        (d_low - d_min) * (2.0 / (RCUT - d_min)) - 1.0, -1.0, 1.0
+    )
+    assert np.allclose(np.asarray(zp_low), [-1.0, -1.0, -1.0])
 
 
 CELL = jnp.asarray(
