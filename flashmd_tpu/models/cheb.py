@@ -380,12 +380,12 @@ def _pair_z(pos, rcut, cell=None, d_min: float = 0.0):
 
     ``d_min`` > 0 restricts the Chebyshev fit domain to d in
     [d_min, rcut] (z affine on that interval, cutoff zero still exactly
-    at z = 1); pairs closer than d_min clamp to z = -1 and get the
-    BOUNDED filter value at d_min instead of a runaway polynomial
-    extrapolation. Physical systems with a repulsive prior never
-    produce such pairs (the zoo chain floors at ~2.7 A) — the restriction
-    buys geometric convergence on the domain that actually occurs
-    (benchmarks/fit_domain_probe.py).
+    at z = 1); pairs closer than d_min clamp to z = -1 — the conv layer
+    then FIRST-ORDER extrapolates them from the floor (see
+    cheb_cfconv_apply) instead of letting the polynomial run away.
+    Physical systems with a repulsive prior essentially never produce
+    such pairs — the restriction buys geometric convergence on the
+    domain that actually occurs (benchmarks/fit_domain_probe.py).
     """
     rel = _pair_rel(pos, cell)
     d2 = jnp.sum(rel * rel, axis=-1)
@@ -439,10 +439,34 @@ def cheb_cfconv_apply(
 
     ``d_min`` is the fit-domain lower bound the coefficients were fitted
     on (see _pair_z and fit_chebyshev_filter); it must match the fit.
+    Pairs below d_min are FIRST-ORDER extrapolated, not just clamped:
+    W'(d) ~= W'(d_min) + (d - d_min) dW'/dd(d_min), where the slope
+    2 sum_m (-1)^m c2[m] is read off the derivative series at z = -1 —
+    one extra matmul in the forward (and one in the gx backward), and
+    the clamped c2 series already IS the matching constant derivative,
+    so the distance-gradient path needs no change. Sub-floor pairs
+    (physically rare, prior-dominated) get smooth, bounded,
+    gradient-consistent forces instead of a frozen filter value.
     """
     return _cheb_cfconv(
         c, c2, w0, pos, x, cell, rcut, precision, need_gx, d_min
     )
+
+
+def _lin_slope(c2):
+    """dW'/dd at the fit-domain floor: the (1-z) T_m series at z = -1,
+    i.e. 2 sum_m (-1)^m c2[m]  -> [F]. Loop-invariant; XLA hoists it."""
+    signs = jnp.where(jnp.arange(c2.shape[0]) % 2 == 0, 1.0, -1.0)
+    return 2.0 * (signs @ c2)
+
+
+def _low_matrix(d, d_min):
+    """low[i, j] = min(d_ij - d_min, 0), zero on the diagonal (keeps the
+    exact w0 self-pair cancellation) — the linear-extrapolation weights.
+    Symmetric (d is), so it serves both the forward and the gx backward."""
+    a = d.shape[0]
+    eye = jnp.eye(a, dtype=bool)
+    return jnp.where(eye, 0.0, jnp.minimum(d - d_min, 0.0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
@@ -492,15 +516,26 @@ def _cheb_forward_only(c, w0, z, x, precision):
 def _cheb_fwd(
     c, c2, w0, pos, x, cell, rcut, precision, need_gx=True, d_min=0.0
 ):
+    w_lin = _lin_slope(c2) if d_min > 0 else None
     if _use_pallas(pos.shape[0]):
         from ..ops.pallas.cheb_kernel import cheb_conv_fwd_pallas
 
         out = cheb_conv_fwd_pallas(
-            c, w0, pos, x, rcut, precision, cell=cell, d_min=d_min
+            c, w0, pos, x, rcut, precision, cell=cell, d_min=d_min,
+            w_lin=w_lin,
         )
     else:
-        _, z = _pair_z(pos, rcut, cell, d_min)
+        d, z = _pair_z(pos, rcut, cell, d_min)
         out = _cheb_forward_only(c, w0, z, x, precision)
+        if w_lin is not None:
+            compute_dtype, prec = _dtypes(precision)
+            low = _low_matrix(d, d_min)
+            out = out + w_lin[None, :] * jnp.dot(
+                low.astype(compute_dtype),
+                x.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
     return out, (c, c2, w0, pos, x, cell)
 
 
@@ -579,6 +614,19 @@ def _cheb_bwd(rcut, precision, need_gx, d_min, residuals, g):
         p_prev, p_cur = p_cur, p_next
 
     gx = gx - w0[None, :] * g if need_gx else jnp.zeros_like(x)
+    if need_gx and d_min > 0:
+        # Linear-extrapolation term below the fit-domain floor: out gained
+        # w_lin ⊙ (low @ x), so gx gains low^T @ (w_lin ⊙ g) (low is
+        # symmetric). The distance-gradient side needs NO term: the
+        # clamped c2 series at z = -1 already equals the extrapolation
+        # slope w_lin (see cheb_cfconv_apply).
+        low = _low_matrix(d, d_min)
+        gx = gx + jnp.dot(
+            low.astype(compute_dtype),
+            (_lin_slope(c2)[None, :] * gc).astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
 
     # The (1-z) basis factor zeroes beyond-cutoff pairs exactly (z clamps
     # at 1); the diagonal is masked explicitly (u_ii != 0 there and

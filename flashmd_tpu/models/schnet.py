@@ -95,10 +95,11 @@ class SchNetConfig:
     # pairs below their excluded-volume floor, and shrinking the fit
     # interval buys geometric convergence: the same force fidelity at a
     # substantially lower order (benchmarks/fit_domain_probe.py). Pairs
-    # closer than cheb_d_min clamp to the BOUNDED filter value at
-    # cheb_d_min (no polynomial runaway); the simulation engine samples
-    # a min-pair-distance soundness check at every export when this
-    # is nonzero (simulation/base.py).
+    # closer than cheb_d_min are FIRST-ORDER extrapolated from the floor
+    # (smooth, bounded, gradient-consistent — models/cheb.
+    # cheb_cfconv_apply); the simulation engine samples a
+    # min-pair-distance soundness check at every export when this is
+    # nonzero (simulation/base.py).
     cheb_d_min: float = 0.0
     # Rematerialization: "block" wraps each interaction block (including its
     # distance/RBF computation) in jax.checkpoint so the backward pass

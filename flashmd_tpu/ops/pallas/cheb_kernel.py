@@ -335,12 +335,13 @@ def _prec_of(precision):
 def _cheb_fwd_kernel(
     pos_ref, x_ref, c_ref, w0_ref, *rest,
     order, rcut, a_pad, a_real, ta, precision, has_cell=False, d_min=0.0,
+    has_lin=False,
 ):
-    if has_cell:
-        cell_ref, inv_ref, out_ref = rest
-    else:
-        cell_ref = inv_ref = None
-        (out_ref,) = rest
+    rest = list(rest)
+    cell_ref = rest.pop(0) if has_cell else None
+    inv_ref = rest.pop(0) if has_cell else None
+    wlin_ref = rest.pop(0) if has_lin else None
+    (out_ref,) = rest
     n = N_CHAINS
     assert order % n == 0 and order >= 2 * n
     t = pl.program_id(1)
@@ -348,7 +349,7 @@ def _cheb_fwd_kernel(
     pos_tile = pos_ref[0, pl.ds(t * ta, ta), :]
     x = x_ref[0]
 
-    _, z, _, _, _ = _tile_geometry(
+    d, z, rows, cols, is_pad = _tile_geometry(
         pos, pos_tile, rcut, a_pad, a_real, ta, t, cell_ref, inv_ref,
         d_min,
     )
@@ -402,6 +403,13 @@ def _cheb_fwd_kernel(
         s_next = qs * s_cur - s_prev
         out = out + chain_matvec(s_next, g * n)
         s_prev, s_cur = s_cur, s_next
+    if has_lin:
+        # First-order extrapolation below the fit-domain floor:
+        # out += w_lin ⊙ (low @ x) with low = min(d - d_min, 0) off the
+        # diagonal (padding columns sit at d = 2 rcut -> low = 0). One
+        # extra matmul; see models/cheb.cheb_cfconv_apply.
+        low = jnp.where(rows == cols, 0.0, jnp.minimum(d - d_min, 0.0))
+        out = out + wlin_ref[:] * _mxu_dot(low, x, precision)
     x_tile = x_ref[0, pl.ds(t * ta, ta), :]
     out_ref[0] = out - w0_ref[:] * x_tile
 
@@ -409,13 +417,13 @@ def _cheb_fwd_kernel(
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, *rest,
     order_gx, order_gd, rcut, a_pad, a_real, ta, precision, need_gx=True,
-    has_cell=False, d_min=0.0,
+    has_cell=False, d_min=0.0, has_lin=False,
 ):
-    if has_cell:
-        cell_ref, inv_ref, gpos_ref, gx_ref = rest
-    else:
-        cell_ref = inv_ref = None
-        gpos_ref, gx_ref = rest
+    rest = list(rest)
+    cell_ref = rest.pop(0) if has_cell else None
+    inv_ref = rest.pop(0) if has_cell else None
+    wlin_ref = rest.pop(0) if has_lin else None
+    gpos_ref, gx_ref = rest
     n = N_CHAINS
     assert order_gd % n == 0 and order_gd >= 2 * n
     if need_gx:
@@ -518,6 +526,19 @@ def _cheb_bwd_kernel(
                 shared, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs
             )
 
+        if has_lin:
+            # gx half of the sub-floor linear extrapolation: the forward
+            # gained w_lin ⊙ (low @ x), so this tile's cotangent rows
+            # contribute low^T @ (w_lin ⊙ g[R]) to every atom's gx (the
+            # distance-gradient side needs no term — the clamped c2
+            # series at z = -1 already IS the extrapolation slope).
+            low = jnp.where(
+                rows == cols, 0.0, jnp.minimum(d - d_min, 0.0)
+            )
+            gx_acc = gx_acc + _mxu_dot(
+                low, wlin_ref[:] * g, precision,
+                dims=(((0,), (0,)), ((), ())),
+            )
         gx_ref[0] += gx_acc
         # self-pair subtraction contributes only to this tile's rows
         gx_ref[0, pl.ds(t * ta, ta), :] += -(w0_ref[:] * g)
@@ -593,12 +614,14 @@ def _cell_operands(cell):
 
 def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
                          tile_budget: int = 150_000, cell=None,
-                         d_min: float = 0.0):
+                         d_min: float = 0.0, w_lin=None):
     """Forward kernel wrapper: (c [M,F], w0 [F], pos [A,3], x [A,F]).
 
     ``cell`` ([3, 3], rows = lattice vectors) switches pair geometry to
     the minimum-image convention. ``d_min`` is the fit-domain lower
-    bound the coefficients were fitted on (see _tile_geometry)."""
+    bound the coefficients were fitted on (see _tile_geometry); pass
+    ``w_lin`` [F] (the derivative series at z = -1, models/cheb.
+    _lin_slope) to first-order extrapolate sub-floor pairs."""
     a = pos.shape[0]
     f = x.shape[-1]
     order = c.shape[0]
@@ -609,7 +632,7 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
     kernel = functools.partial(
         _cheb_fwd_kernel, order=order, rcut=float(rcut), a_pad=a_pad,
         a_real=a, ta=ta, precision=precision, has_cell=cell is not None,
-        d_min=float(d_min),
+        d_min=float(d_min), has_lin=w_lin is not None,
     )
     in_specs = [
         pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
@@ -631,6 +654,12 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
         extra_specs, extra_ops = _cell_operands(cell)
         in_specs += extra_specs
         operands += extra_ops
+    if w_lin is not None:
+        in_specs.append(
+            pl.BlockSpec((1, f), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(w_lin.astype(jnp.float32)[None, :])
     out = pl.pallas_call(
         kernel,
         interpret=_interpret(),
@@ -681,11 +710,14 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
+    # The linear-extrapolation slope enters only the gx half (the clamped
+    # c2 series already carries the distance-gradient side).
+    has_lin = float(d_min) > 0 and need_gx
     kernel = functools.partial(
         _cheb_bwd_kernel, order_gx=order_gx, order_gd=order_gd,
         rcut=float(rcut), a_pad=a_pad,
         a_real=a, ta=ta, precision=precision, need_gx=need_gx,
-        has_cell=cell is not None, d_min=float(d_min),
+        has_cell=cell is not None, d_min=float(d_min), has_lin=has_lin,
     )
     in_specs = [
         pl.BlockSpec((1, a_pad, 3), lambda s, t: (0, 0, 0),
@@ -713,6 +745,14 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
         extra_specs, extra_ops = _cell_operands(cell)
         in_specs += extra_specs
         operands += extra_ops
+    if has_lin:
+        from ...models.cheb import _lin_slope
+
+        in_specs.append(
+            pl.BlockSpec((1, f), lambda s, t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(_lin_slope(c2).astype(jnp.float32)[None, :])
     gpos, gx = pl.pallas_call(
         kernel,
         interpret=_interpret(),

@@ -865,10 +865,11 @@ class Simulation:
             floor = float(self.model.schnet_config.cheb_d_min)
             if d_seen < floor:
                 warnings.warn(
-                    f"Chebyshev fit-domain floor violated: a pair came "
+                    f"Chebyshev fit-domain floor crossed: a pair came "
                     f"within {d_seen:.4f} but the filter was fitted on "
                     f"[{floor}, rcut] (cheb_d_min). Forces for that pair "
-                    "used the clamped d_min filter value. Lower "
+                    "were first-order extrapolated (accuracy degrades "
+                    "quadratically with depth below the floor). Lower "
                     "cheb_d_min (0 restores the full-domain fit) or "
                     "strengthen the repulsive prior.",
                     RuntimeWarning,

@@ -250,6 +250,118 @@ def test_kernels_domain_restricted(fit, need_gx):
         )
 
 
+def test_domain_restricted_extrapolation_consistency(fit):
+    """Sub-floor pairs are FIRST-ORDER extrapolated: the forward kernel
+    (with w_lin) must match the extrapolated jnp expression, the gx half
+    of the backward must be the TRUE gradient of that forward (jax.grad
+    oracle — the new lin term enters gx), and the gpos half must match
+    the designed c2 backward exactly.
+
+    gpos is NOT compared to jax.grad of the c-series forward on mixed
+    geometry: the backward deliberately uses the direct derivative fit
+    c2 (closer to the true model gradient), and the derivative of the
+    c-fit's error is worst exactly at the z = -1 endpoint sub-floor
+    pairs sit on (Markov: ~M^2 x the fit error) — that known design gap
+    is covered at model level by the fidelity suite. The extrapolation
+    claim itself ("the clamped c2 series at z = -1 IS the slope") is
+    tested exactly in test_extrapolation_gpos_pure_subfloor below."""
+    from flashmd_tpu.models.cheb import _lin_slope, _low_matrix
+
+    c, c2, w0 = fit
+    d_min = 1.2
+    w_lin = _lin_slope(c2)
+    pos, x, g = _random_inputs(29, seed=9)
+    # several sub-floor pairs at varying depths
+    pos = pos.at[1].set(pos[0] + jnp.asarray([0.5, 0.2, 0.1]))
+    pos = pos.at[5].set(pos[4] + jnp.asarray([0.9, 0.3, 0.0]))
+
+    def fwd_jnp(pos, x):
+        d, z = _pair_z(pos, RCUT, d_min=d_min)
+        out = _cheb_forward_only(c, w0, z, x, "fp32")
+        low = _low_matrix(d, d_min)
+        return out + w_lin[None, :] * (low @ x)
+
+    out_k = cheb_conv_fwd_pallas(
+        c, w0, pos, x, RCUT, "fp32", d_min=d_min, w_lin=w_lin
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(fwd_jnp(pos, x)), rtol=3e-5,
+        atol=3e-5,
+    )
+    # extrapolation genuinely differs from the clamp for sub-floor pairs
+    out_clamped = cheb_conv_fwd_pallas(
+        c, w0, pos, x, RCUT, "fp32", d_min=d_min
+    )
+    assert not np.allclose(np.asarray(out_k), np.asarray(out_clamped))
+
+    _, gx_ad = jax.grad(
+        lambda p, xx: jnp.sum(fwd_jnp(p, xx) * g), argnums=(0, 1)
+    )(pos, x)
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=True, d_min=d_min
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ad), rtol=1e-4, atol=1e-4
+    )
+    _, gpos_jnp, gx_jnp = _jnp_bwd(
+        c, c2, w0, pos, x, g, need_gx=True, d_min=d_min
+    )
+    np.testing.assert_allclose(
+        np.asarray(gpos_k), np.asarray(gpos_jnp), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_jnp), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_extrapolation_gpos_pure_subfloor(fit):
+    """Exact gradient consistency of the sub-floor extrapolation: on a
+    geometry where EVERY in-cutoff pair is below the fit-domain floor,
+    the extrapolated forward is exactly linear in d (the clipped c
+    series contributes zero position gradient), so jax.grad of the jnp
+    expression is exact — no fit error enters — and the kernel's gpos,
+    which reads the slope off the clamped c2 series at z = -1, must
+    match it to float tolerance. This pins the design claim that the
+    clamped derivative series IS the extrapolation slope."""
+    from flashmd_tpu.models.cheb import _lin_slope, _low_matrix
+
+    c, c2, w0 = fit
+    d_min = 1.2
+    w_lin = _lin_slope(c2)
+    # two tight (sub-floor) pairs, the pairs far apart (> rcut)
+    pos = jnp.asarray(
+        [
+            [0.0, 0.0, 0.0],
+            [0.5, 0.2, 0.1],
+            [20.0, 0.0, 0.0],
+            [20.9, 0.3, 0.0],
+        ],
+        jnp.float32,
+    )
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(4, F)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(4, F)), jnp.float32)
+
+    def fwd_jnp(pos, x):
+        d, z = _pair_z(pos, RCUT, d_min=d_min)
+        out = _cheb_forward_only(c, w0, z, x, "fp32")
+        low = _low_matrix(d, d_min)
+        return out + w_lin[None, :] * (low @ x)
+
+    gpos_ad, gx_ad = jax.grad(
+        lambda p, xx: jnp.sum(fwd_jnp(p, xx) * g), argnums=(0, 1)
+    )(pos, x)
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=True, d_min=d_min
+    )
+    np.testing.assert_allclose(
+        np.asarray(gpos_k), np.asarray(gpos_ad), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ad), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_domain_restricted_fit_accuracy():
     """A restricted-domain fit must reproduce the exact composed filter on
     [d_min, rcut] far better than the same-order full-domain fit (the
