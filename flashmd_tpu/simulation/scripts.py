@@ -94,5 +94,21 @@ def nve_verlet_main():
     return _run(NVESimulation, "NVE velocity-Verlet simulation")
 
 
+# Console-script wrappers: the ``*_main`` functions return the Simulation
+# object for programmatic use (tests, notebooks), but setuptools entry
+# points call ``sys.exit(main())`` — a truthy return would print the repr
+# and exit 1 on a fully successful run.
+def nvt_langevin_cli() -> None:
+    nvt_langevin_main()
+
+
+def nvt_pt_langevin_cli() -> None:
+    nvt_pt_langevin_main()
+
+
+def nve_verlet_cli() -> None:
+    nve_verlet_main()
+
+
 if __name__ == "__main__":  # pragma: no cover
     nvt_langevin_main()
