@@ -135,6 +135,38 @@ def test_custom_vjp_matches_finite_differences(setup):
                                    atol=2e-3)
 
 
+def test_model_forces_match_xla_domain_restricted(setup):
+    """The full cheb dispatch with cheb_d_min > 0 (restricted-domain fit
+    + sub-floor extrapolation machinery engaged) matches the exact-MLP
+    xla path on a geometry whose pair floor sits above d_min — the
+    physical regime the restriction targets. Covers fit (z affine on
+    [d_min, rcut]), forward, and the custom VJP end to end at model
+    level (kernel level: tests/ops/test_cheb_kernel.py)."""
+    cfg, params, pos_rand, types, _ = setup
+    # jittered grid: minimum pair separation 2.5 > d_min = 2.0
+    rng = np.random.default_rng(7)
+    grid = np.stack(
+        np.meshgrid(*[np.arange(4) * 3.0] * 3), axis=-1
+    ).reshape(-1, 3)[:A]
+    pos = jnp.asarray(grid + rng.uniform(-0.2, 0.2, (A, 3)), jnp.float32)
+    d2 = np.sum(
+        (np.asarray(pos)[:, None] - np.asarray(pos)[None, :]) ** 2, -1
+    )
+    np.fill_diagonal(d2, np.inf)
+    assert np.sqrt(d2.min()) > 2.0  # geometry floor above d_min
+
+    nbr = radius_neighbor_matrix(pos, RCUT, capacity=A)
+    cfg_c = dataclasses.replace(
+        cfg, message_passing="cheb", cheb_d_min=2.0
+    )
+    g_x = jax.grad(lambda p: schnet_energy(params, cfg, p, types, nbr))(pos)
+    g_c = jax.grad(lambda p: schnet_energy(params, cfg_c, p, types, None))(
+        pos
+    )
+    gx, gc = np.asarray(g_x), np.asarray(g_c)
+    assert np.abs(gx - gc).max() / np.abs(gx).max() < 5e-4
+
+
 def test_vmap_batch(setup):
     cfg, params, pos, types, nbr = setup
     cfg_c = dataclasses.replace(cfg, message_passing="cheb")
