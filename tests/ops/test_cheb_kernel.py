@@ -476,6 +476,57 @@ def test_bwd_kernel_periodic_matches_jnp(fit, a, budget, need_gx):
     )
 
 
+def test_kernels_periodic_domain_restricted(fit):
+    """Cell AND d_min together (the only combination where the kernels
+    carry three extra operands: cell, inv-cell, w_lin — ordering is
+    load-bearing in the *rest unpacking). Min-image sub-floor pairs must
+    extrapolate exactly like the jnp path."""
+    from flashmd_tpu.models.cheb import _lin_slope, _low_matrix
+
+    c, c2, w0 = fit
+    d_min = 1.2
+    w_lin = _lin_slope(c2)
+    pos, x, g = _random_inputs(29, seed=13)
+    # a pair that is sub-floor only THROUGH the minimum image (wraps)
+    pos = pos.at[2].set(jnp.asarray([0.2, 0.1, 0.3]))
+    pos = pos.at[3].set(
+        jnp.asarray([0.2, 0.1, 0.3]) + jnp.diag(CELL) - 0.4
+    )
+
+    def fwd_jnp(pos, x):
+        d, z = _pair_z(pos, RCUT, CELL, d_min)
+        out = _cheb_forward_only(c, w0, z, x, "fp32")
+        low = _low_matrix(d, d_min)
+        return out + w_lin[None, :] * (low @ x)
+
+    out_k = cheb_conv_fwd_pallas(
+        c, w0, pos, x, RCUT, "fp32", cell=CELL, d_min=d_min, w_lin=w_lin
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(fwd_jnp(pos, x)), rtol=3e-5,
+        atol=3e-5,
+    )
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=True, cell=CELL,
+        d_min=d_min,
+    )
+    _, gx_ad = jax.grad(
+        lambda p, xx: jnp.sum(fwd_jnp(p, xx) * g), argnums=(0, 1)
+    )(pos, x)
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ad), rtol=1e-4, atol=1e-4
+    )
+    _, gpos_ref, gx_ref = _jnp_bwd(
+        c, c2, w0, pos, x, g, need_gx=True, cell=CELL, d_min=d_min
+    )
+    np.testing.assert_allclose(
+        np.asarray(gpos_k), np.asarray(gpos_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ref), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_bwd_kernel_periodic_matches_autodiff(fit):
     """Kernel cotangents vs jax.grad of the min-image jnp forward — the
     pair-shift-aware gpos accumulation must be a true gradient."""
