@@ -60,6 +60,7 @@ from ..models.forcefield import (
     build_neighbors,
     compute_energy_forces,
 )
+from ..parallel.mesh import fetch_to_host, is_io_process
 from ..utils.io import dump_yaml, logger, setup_logging, tqdm
 
 
@@ -718,7 +719,7 @@ class Simulation:
         tail_steps = remaining % self.export_interval
 
         rollout = self._build_rollout(save_size)
-        if self.print_shape and self.filename is not None:
+        if self.print_shape and self.filename is not None and is_io_process():
             self._write_shape_log(carry, save_size)
         pbar = tqdm(
             total=self.n_timesteps,
@@ -781,7 +782,10 @@ class Simulation:
                 and step % self.sim_subroutine_interval == 0
             ):
                 carry = self.sim_subroutine(carry)
-            frames_np = jax.tree.map(np.asarray, frames)
+            # Multi-host: non-fully-addressable frames are all-gathered so
+            # every process sees the full batch (guards) and the IO process
+            # writes complete trajectories.
+            frames_np = fetch_to_host(frames)
             self._check_divergence(frames_np, step)
             self._export_segment(carry, frames_np, step)
             pbar.update(seg_steps)
@@ -799,7 +803,7 @@ class Simulation:
         self._post_warmup_steps = step - self._steps_at_warmup_end
         pbar.close()
 
-        self.final_carry = jax.tree.map(np.asarray, carry)
+        self.final_carry = fetch_to_host(carry)
         self._final_potential = self.final_carry["potential"]
         self.summary()
         self._simulated = True
@@ -898,7 +902,7 @@ class Simulation:
         if not self._export_specified and self.filename is None:
             return
 
-        if self.filename is not None:
+        if self.filename is not None and is_io_process():
             key = self._get_numpy_count()
             np.save(
                 f"{self.filename}_coords_{key}.npy",
@@ -990,11 +994,11 @@ class Simulation:
     def _write_checkpoint(self, carry, key: str, index: int = 0):
         """Simulation-state checkpoint
         (reference base.py:537-550, 1357-1364, 1409-1417)."""
-        if self.filename is None:
+        if self.filename is None or not is_io_process():
             return
         state = {
-            POSITIONS_KEY: np.asarray(carry["pos"]),
-            VELOCITY_KEY: np.asarray(carry["vel"]),
+            POSITIONS_KEY: fetch_to_host(carry["pos"]),
+            VELOCITY_KEY: fetch_to_host(carry["vel"]),
             "current_timestep": np.asarray(index),
             "export_interval": np.asarray(self.export_interval),
             "save_interval": np.asarray(self.save_interval),

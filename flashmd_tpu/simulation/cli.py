@@ -306,6 +306,20 @@ def parse_simulation_config(
                 )
             )
 
+    # Mesh from config/CLI: `--simulation.mesh auto` shards the batch over
+    # every visible device (after jax.distributed auto-init when a cluster
+    # environment is present — multi-host DCN uses the same spelling);
+    # `--simulation.mesh N` uses the first N devices. A Mesh object passed
+    # programmatically is forwarded untouched.
+    mesh_opt = sim_kwargs.get("mesh")
+    if mesh_opt is not None and not hasattr(mesh_opt, "devices"):
+        from ..parallel.mesh import initialize_distributed, make_replica_mesh
+
+        initialize_distributed()
+        sim_kwargs["mesh"] = make_replica_mesh(
+            None if str(mesh_opt).lower() == "auto" else int(mesh_opt)
+        )
+
     simulation = simulation_class(**sim_kwargs)
     betas = config.get("betas")
     if isinstance(betas, (list, tuple)) and len(betas) == 1:

@@ -231,9 +231,11 @@ class PTSimulation(LangevinSimulation):
     # ------------------------------------------------------------------
 
     def _export_segment(self, carry, frames_np: Dict, step_end: int):
+        from ..parallel.mesh import is_io_process
+
         key = self._get_numpy_count()
         super()._export_segment(carry, frames_np, step_end)
-        if self.filename is not None:
+        if self.filename is not None and is_io_process():
             np.save(
                 f"{self.filename}_acceptance_{key}.npy",
                 np.asarray(carry["acceptance_matrix"]),

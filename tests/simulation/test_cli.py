@@ -129,6 +129,24 @@ def test_mp_env_override(files, monkeypatch):
     assert model.schnet_config.message_passing == "cheb"
 
 
+def test_mesh_auto_and_count(files):
+    """`--simulation.mesh auto` shards over every visible device;
+    `--simulation.mesh N` over the first N (multi-chip from the CLI)."""
+    tmp, cfg_path = files
+    _, _, _, sim, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path), "--simulation.mesh", "auto",
+              "--simulation.filename", "cli_demo_mesh"],
+    )
+    assert sim.mesh is not None and sim.mesh.devices.size == 8
+    _, _, _, sim2, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path), "--simulation.mesh", "2",
+              "--simulation.filename", "cli_demo_mesh2"],
+    )
+    assert sim2.mesh.devices.size == 2
+
+
 def test_apply_batch_size_validation():
     with pytest.raises(ValueError):
         apply_batch_size([1, 2, 3], -1)

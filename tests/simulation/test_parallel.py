@@ -137,11 +137,15 @@ def test_uneven_batch_raises_through_simulation():
 
 
 def test_initialize_distributed_single_process_noop(monkeypatch):
-    """No kwargs + no cluster env -> explicit no-op returning False."""
+    """No kwargs + no multi-host environment -> explicit no-op returning
+    False. Single-worker coordinator-style variables (the axon environment
+    exports TPU_WORKER_HOSTNAMES=localhost; single-node SLURM exports
+    SLURM_JOB_ID) must NOT trip auto-init."""
     from flashmd_tpu.parallel import mesh as mesh_mod
 
-    for var in mesh_mod._CLUSTER_ENV_VARS:
-        monkeypatch.delenv(var, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_JOB_ID", "424242")
+    monkeypatch.delenv("SLURM_NTASKS", raising=False)
     assert mesh_mod.initialize_distributed() is False
 
 
@@ -163,11 +167,11 @@ def test_initialize_distributed_explicit_failure_propagates(monkeypatch):
 
 
 def test_initialize_distributed_cluster_env_failure_propagates(monkeypatch):
-    """Cluster env present (e.g. SLURM) -> auto-detect path; failures
-    propagate rather than degrading to single-host."""
+    """Multi-host environment present (>1 task) -> auto-detect path;
+    failures propagate rather than degrading to single-host."""
     from flashmd_tpu.parallel import mesh as mesh_mod
 
-    monkeypatch.setenv("SLURM_JOB_ID", "424242")
+    monkeypatch.setenv("SLURM_NTASKS", "2")
 
     def boom(**kwargs):
         raise ValueError("could not auto-detect coordinator")
