@@ -193,21 +193,42 @@ def cgschnet_1enh_like(
         output_hidden_layer_widths=(128, 64),
         precision=precision,
         message_passing=message_passing,
-        # bf16 default: asymmetric orders (fwd 64, deriv 96). The
-        # derivative series sets the force-fidelity floor — the measured
-        # (M1, M2) error grid (benchmarks/fidelity_asym.py) shows
-        # (64, 96) at 6.9e-3 max rel force error vs the old symmetric
-        # 88 default's 6.5e-3 (both within the 7.2e-3 budget = 1.2x the
-        # 6.1e-3 floor ANY bf16 evaluation of this model pays), while
-        # cutting ~13% of the kernel matmul FLOPs (cost ~ 5*M1 + 3*M2
-        # at 3 interaction blocks). fp32 parity runs use the full
-        # symmetric order (~2e-3, the fit floor).
-        cheb_order=cheb_order or (64 if precision.startswith("bf16") else 128),
+        # bf16 default: asymmetric orders (fwd 48, deriv 64) on the
+        # restricted fit domain d_min = 2.0 A. The zoo's excluded-volume
+        # floor (repulsion prior sigma 3.0; measured chain min pair
+        # distance 2.80 A) means pairs below 2.0 A never occur, so the
+        # Chebyshev fit only needs [2.0, rcut] — geometric convergence on
+        # the smaller interval buys the lower orders. The measured
+        # (M1, M2) error grid at FIT_DMIN=2.0 (benchmarks/fidelity_asym.py,
+        # 2026-08-18, v5e) shows (48, 64) at 6.90e-3 max rel force error —
+        # identical to the previous full-domain (64, 96) default — within
+        # the 7.2e-3 budget (= 1.2x the 6.1e-3 floor ANY bf16 evaluation
+        # of this model pays), while cutting ~29% of the kernel matmul
+        # FLOPs (cost ~ 5*M1 + 3*M2 at 3 interaction blocks): measured
+        # 10177.8 vs 8013.5 timestep*mol/s on the headline bench, same
+        # chip, same day. Sub-floor excursions are first-order
+        # extrapolated (models/cheb.py) and the engine samples the min
+        # pair distance every export and warns on a floor violation
+        # (simulation/base.py _pair_floor_outputs). fp32 parity runs use
+        # the full symmetric order on the full domain (~2e-3, the fit
+        # floor).
+        cheb_order=cheb_order or (48 if precision.startswith("bf16") else 128),
         # An explicit symmetric cheb_order stays symmetric (deriv=None
         # follows cheb_order); only the bf16 default is asymmetric.
         cheb_order_deriv=cheb_order_deriv
-        or (96 if cheb_order is None and precision.startswith("bf16") else None),
-        cheb_d_min=cheb_d_min if cheb_d_min is not None else 0.0,
+        or (64 if cheb_order is None and precision.startswith("bf16") else None),
+        # An explicit cheb_order also opts out of the restricted-domain
+        # default — mixing a hand-picked order with an implicit d_min
+        # would silently change which fit the order was validated on.
+        cheb_d_min=(
+            cheb_d_min
+            if cheb_d_min is not None
+            else (
+                2.0
+                if cheb_order is None and precision.startswith("bf16")
+                else 0.0
+            )
+        ),
     )
     params = init_schnet(jax.random.PRNGKey(seed), config)
 

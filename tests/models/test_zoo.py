@@ -1,0 +1,50 @@
+"""Zoo defaults: the flagship model's precision-dependent fast-path knobs.
+
+The bf16 default is the measured throughput/fidelity frontier point
+(benchmarks/fidelity_asym.py grid at FIT_DMIN=2.0: (48, 64) at 6.90e-3
+max rel force error, within the 7.2e-3 budget); explicit knobs must opt
+out of the coupled defaults so a hand-picked order never silently runs
+on a different fit domain than it was validated on.
+"""
+
+from flashmd_tpu.models.zoo import cgschnet_1enh_like
+
+_SMALL = dict(n_atoms=8, batch_size=1, num_interactions=1)
+
+
+def test_bf16_default_is_restricted_domain_asymmetric():
+    ff, _ = cgschnet_1enh_like(precision="bf16", **_SMALL)
+    cfg = ff.schnet_config
+    assert cfg.cheb_order == 48
+    assert cfg.cheb_order_deriv == 64
+    assert cfg.cheb_d_min == 2.0
+
+
+def test_fp32_default_is_full_domain_symmetric():
+    ff, _ = cgschnet_1enh_like(precision="fp32", **_SMALL)
+    cfg = ff.schnet_config
+    assert cfg.cheb_order == 128
+    assert cfg.cheb_order_deriv is None  # symmetric: follows cheb_order
+    assert cfg.cheb_d_min == 0.0
+
+
+def test_explicit_order_opts_out_of_restricted_domain():
+    ff, _ = cgschnet_1enh_like(precision="bf16", cheb_order=64, **_SMALL)
+    cfg = ff.schnet_config
+    assert cfg.cheb_order == 64
+    assert cfg.cheb_order_deriv is None  # explicit order stays symmetric
+    assert cfg.cheb_d_min == 0.0  # and full-domain
+
+
+def test_explicit_d_min_and_deriv_are_honored():
+    ff, _ = cgschnet_1enh_like(
+        precision="bf16",
+        cheb_order=64,
+        cheb_order_deriv=96,
+        cheb_d_min=1.5,
+        **_SMALL,
+    )
+    cfg = ff.schnet_config
+    assert cfg.cheb_order == 64
+    assert cfg.cheb_order_deriv == 96
+    assert cfg.cheb_d_min == 1.5
