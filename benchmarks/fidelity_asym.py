@@ -30,9 +30,10 @@ FIT_ORDER = int(os.environ.get("FIT_ORDER", "96"))
 # same force-error protocol, so grids at different FIT_DMIN are directly
 # comparable.
 FIT_DMIN = float(os.environ.get("FIT_DMIN", "0"))
+N_ATOMS = int(os.environ.get("N_ATOMS", "266"))
 
 ff, configs = cgschnet_1enh_like(
-    n_atoms=266, batch_size=4, precision="fp32", message_passing="xla"
+    n_atoms=N_ATOMS, batch_size=4, precision="fp32", message_passing="xla"
 )
 system = collate(configs, beta=1.67)
 pos = jnp.asarray(system.pos)
@@ -42,7 +43,7 @@ nbr = build_neighbors(ff, pos)
 # actual pair floor of this geometry (sanity vs FIT_DMIN)
 _rel = pos[:, None, :, :] - pos[:, :, None, :]
 _d2 = np.array(jnp.sum(_rel * _rel, axis=-1))  # writable host copy
-_d2[:, np.arange(266), np.arange(266)] = np.inf
+_d2[:, np.arange(N_ATOMS), np.arange(N_ATOMS)] = np.inf
 print(f"geometry min pair distance: {np.sqrt(_d2.min()):.3f}", flush=True)
 
 

@@ -115,6 +115,7 @@ class Simulation:
         neighbor_capacity: Optional[int] = None,
         neighbor_skin: float = 1.0,
         neighbor_rebuild_interval: int = 1,
+        max_steps_per_launch: Optional[int] = 1000,
         mesh=None,
     ):
         self.model: Optional[ForceField] = None
@@ -195,6 +196,15 @@ class Simulation:
         # skin/2 (_check_divergence).
         self.neighbor_skin = neighbor_skin
         self.neighbor_rebuild_interval = neighbor_rebuild_interval
+        # Upper bound on the timesteps covered by ONE device program
+        # (rounded down to whole save-frames, never below one frame).
+        # Results are identical for any cap — the scan semantics don't
+        # change — but bounding single-program runtime keeps progress,
+        # divergence guards, and profiler windows at sane latency and
+        # stays under device-side execution watchdogs even when
+        # export_interval is large or unset (export_interval=None spans
+        # the whole run in one export). None = one launch per export.
+        self.max_steps_per_launch = max_steps_per_launch
         # Optional jax.sharding.Mesh: shard the batch/replica axis across
         # chips (see flashmd_tpu.parallel.mesh).
         self.mesh = mesh
@@ -214,6 +224,14 @@ class Simulation:
     # ------------------------------------------------------------------
 
     def input_option_checks(self):
+        if (
+            self.max_steps_per_launch is not None
+            and self.max_steps_per_launch < 1
+        ):
+            raise ValueError(
+                "max_steps_per_launch must be a positive number of "
+                f"timesteps or None (got {self.max_steps_per_launch})"
+            )
         if self.n_timesteps % self.save_interval != 0:
             raise ValueError(
                 "The save_interval must be a factor of the simulation "
@@ -718,7 +736,36 @@ class Simulation:
         n_full_segments = remaining // self.export_interval
         tail_steps = remaining % self.export_interval
 
-        rollout = self._build_rollout(save_size)
+        # Split an export segment into device launches of at most
+        # max_steps_per_launch timesteps (whole save-frames, minimum one
+        # frame per launch). export_interval % save_interval == 0 and
+        # n_timesteps % save_interval == 0 are enforced above, so the
+        # launch sizes always sum exactly to the segment.
+        if self.max_steps_per_launch is None:
+            launch_frames_cap = None
+        else:
+            launch_frames_cap = max(
+                1, self.max_steps_per_launch // self.save_interval
+            )
+
+        def split_frames(n_frames):
+            if launch_frames_cap is None:
+                return [n_frames]
+            sizes = []
+            left = n_frames
+            while left > 0:
+                take = min(launch_frames_cap, left)
+                sizes.append(take)
+                left -= take
+            return sizes
+
+        rollout_cache = {}
+
+        def get_rollout(n_frames):
+            if n_frames not in rollout_cache:
+                rollout_cache[n_frames] = self._build_rollout(n_frames)
+            return rollout_cache[n_frames]
+
         if self.print_shape and self.filename is not None and is_io_process():
             self._write_shape_log(carry, save_size)
         pbar = tqdm(
@@ -731,7 +778,7 @@ class Simulation:
         step = t_init
         self._saved_outputs = []
 
-        def run_segment(carry, seg_rollout, seg_frames, step):
+        def run_launch(carry, launch_rollout, step):
             if (
                 self._warmup_end_time is None
                 and step >= halfway_step
@@ -739,42 +786,48 @@ class Simulation:
                 jax.block_until_ready(carry["pos"])
                 self._warmup_end_time = time.perf_counter()
                 self._steps_at_warmup_end = step
-            carry, frames = seg_rollout(carry)
+            carry, frames = launch_rollout(carry)
             return carry, frames
 
-        segments = [
-            (rollout, save_size, self.export_interval)
-        ] * n_full_segments
+        segments = [(save_size, self.export_interval)] * n_full_segments
         if tail_steps:
-            tail_frames = tail_steps // self.save_interval
-            segments.append(
-                (self._build_rollout(tail_frames), tail_frames, tail_steps)
-            )
+            segments.append((tail_steps // self.save_interval, tail_steps))
 
         profiling = False
-        for seg_rollout, seg_frames, seg_steps in segments:
-            # Profiler window at segment granularity (reference
-            # base.py:561-562, 634-636 used cudaProfilerStart/Stop; here
-            # jax.profiler captures an xplane trace).
-            if (
-                self.profile_start_step is not None
-                and not profiling
-                and step >= self.profile_start_step
-                and self.filename is not None
-            ):
-                jax.profiler.start_trace(f"{self.filename}_trace")
-                profiling = True
-            carry, frames = run_segment(carry, seg_rollout, seg_frames, step)
-            step += seg_steps
-            if (
-                profiling
-                and self.profile_end_step is not None
-                and step >= self.profile_end_step
-            ):
-                jax.block_until_ready(carry["pos"])
-                jax.profiler.stop_trace()
-                profiling = False
-            # Host-side subroutine hook at segment boundaries (if any).
+        for seg_frames, seg_steps in segments:
+            parts = []
+            for n_f in split_frames(seg_frames):
+                # Profiler window at launch granularity (reference
+                # base.py:561-562, 634-636 used cudaProfilerStart/Stop;
+                # here jax.profiler captures an xplane trace).
+                if (
+                    self.profile_start_step is not None
+                    and not profiling
+                    and step >= self.profile_start_step
+                    and self.filename is not None
+                ):
+                    jax.profiler.start_trace(f"{self.filename}_trace")
+                    profiling = True
+                carry, frames = run_launch(carry, get_rollout(n_f), step)
+                step += n_f * self.save_interval
+                if (
+                    profiling
+                    and self.profile_end_step is not None
+                    and step >= self.profile_end_step
+                ):
+                    jax.block_until_ready(carry["pos"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                # Multi-host: non-fully-addressable frames are
+                # all-gathered so every process sees the full batch
+                # (guards) and the IO process writes complete
+                # trajectories. Fetch + guard per launch so divergence
+                # surfaces at launch latency, not export latency.
+                frames_np = fetch_to_host(frames)
+                self._check_divergence(frames_np, step)
+                parts.append(frames_np)
+                pbar.update(n_f * self.save_interval)
+            # Host-side subroutine hook at export-segment boundaries.
             if (
                 self.sim_subroutine is not None
                 and self.sim_subroutine_interval is not None
@@ -782,13 +835,14 @@ class Simulation:
                 and step % self.sim_subroutine_interval == 0
             ):
                 carry = self.sim_subroutine(carry)
-            # Multi-host: non-fully-addressable frames are all-gathered so
-            # every process sees the full batch (guards) and the IO process
-            # writes complete trajectories.
-            frames_np = fetch_to_host(frames)
-            self._check_divergence(frames_np, step)
+            frames_np = (
+                parts[0]
+                if len(parts) == 1
+                else jax.tree.map(
+                    lambda *xs: np.concatenate(xs, axis=0), *parts
+                )
+            )
             self._export_segment(carry, frames_np, step)
-            pbar.update(seg_steps)
             if self.log_interval is not None:
                 self.log(step // self.save_interval)
 

@@ -224,3 +224,48 @@ def test_langevin_deterministic_same_seed():
 
     a, b = run(), run()
     np.testing.assert_array_equal(a, b)
+
+
+def test_launch_cap_preserves_trajectory():
+    """max_steps_per_launch bounds the device-program length without
+    changing results: the scan semantics are identical, only the launch
+    boundaries move. Counts launches via _build_rollout to prove the
+    split actually happened."""
+
+    def run(max_steps_per_launch):
+        sim = LangevinSimulation(
+            friction=1.0,
+            dt=1e-3,
+            n_timesteps=120,
+            save_interval=10,
+            random_seed=42,
+            max_steps_per_launch=max_steps_per_launch,
+        )
+        sim.attach_model_and_configurations(
+            harmonic_ff(4), chain_configs(2, 4), beta=1.0
+        )
+        built = []
+        orig = sim._build_rollout
+
+        def counting_build(n_frames):
+            built.append(n_frames)
+            return orig(n_frames)
+
+        sim._build_rollout = counting_build
+        sim.simulate()
+        return np.concatenate(sim.simulated_coords, axis=0), built
+
+    # export_interval=None -> one 120-step export segment. Uncapped: one
+    # 12-frame program; capped at 50 steps: 5-frame launches (12 = 5+5+2).
+    a, built_a = run(None)
+    b, built_b = run(50)
+    assert built_a == [12]
+    assert built_b == [5, 2]  # distinct sizes compile once each (cached)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_launch_cap_validation():
+    with pytest.raises(ValueError, match="max_steps_per_launch"):
+        LangevinSimulation(
+            n_timesteps=100, save_interval=10, max_steps_per_launch=0
+        )
