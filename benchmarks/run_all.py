@@ -101,8 +101,16 @@ def _cfg_large(n_steps, chunk):
     from flashmd_tpu.models.zoo import cgschnet_1enh_like
     from flashmd_tpu.simulation import LangevinSimulation
 
+    # Fidelity is SIZE-coupled in bf16: the accumulation error grows with
+    # atom count (K = A reductions), so the flagship (48, 64) default
+    # measured at A = 266 reads 9.05e-3 at A = 532 — over that size's own
+    # 1.2x-floor budget (floor ~7.1e-3 at M2 = 96). The measured 532 grid
+    # (benchmarks/fidelity_asym.py N_ATOMS=532 FIT_DMIN=2.0, 2026-08-18)
+    # puts (64, 64) at 7.32e-3 = 1.03x floor — the frontier point for
+    # this size.
     ff, cfgs = cgschnet_1enh_like(
-        n_atoms=532, batch_size=32, precision="bf16", message_passing="cheb"
+        n_atoms=532, batch_size=32, precision="bf16", message_passing="cheb",
+        cheb_order=64, cheb_order_deriv=64, cheb_d_min=2.0,
     )
     tp = bench_sim(LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk)
     return {"config": "large_protein_A532_batch32", "throughput": round(tp, 1)}
