@@ -183,6 +183,32 @@ def load_structure_file(path: str) -> List[Configuration]:
     return checkpoint_io.load_native_configurations(path)
 
 
+def _auto_cheb_d_min(configs: List[Configuration]) -> float:
+    """Fit-domain floor = 0.7 x the min pair distance over the structures.
+
+    The 0.7 factor is the measured dynamic dip of the headline system: a
+    5000-step x 128-molecule trajectory bottoms out at 2.047 A against an
+    initial-geometry min of 2.80 A (= 0.73; benchmarks/pair_floor_traj.py,
+    PERFORMANCE.md). The runtime pair-floor guard
+    (Simulation._pair_floor_outputs) warns if a simulation undercuts the
+    derived floor, and pairs below it get first-order-extrapolated
+    filter values rather than a runaway tail (models/cheb.py).
+
+    Distances are raw euclidean (no minimum image) — for periodic systems
+    pass an explicit FLASHMD_TPU_CHEB_DMIN instead.
+    """
+    import numpy as np
+
+    d2_min = np.inf
+    for c in configs:
+        pos = np.asarray(c.pos, dtype=np.float64)
+        rel = pos[:, None, :] - pos[None, :, :]
+        d2 = np.sum(rel * rel, axis=-1)
+        np.fill_diagonal(d2, np.inf)
+        d2_min = min(d2_min, float(d2.min()))
+    return round(0.7 * float(np.sqrt(d2_min)), 2)
+
+
 def parse_simulation_config(
     simulation_class,
     description: str = "Simulation command line tool",
@@ -298,11 +324,23 @@ def parse_simulation_config(
         # checkpoints (exact [0, rcut] semantics); sound when the system's
         # repulsive prior floors the approach distance above d_min — the
         # engine samples a min-pair-distance check at every export.
+        # FLASHMD_TPU_CHEB_DMIN=auto derives the floor from the loaded
+        # structures (_auto_cheb_d_min).
         dmin_override = os.environ.get("FLASHMD_TPU_CHEB_DMIN")
         if dmin_override and not (ns.disable_optim or env_disable):
+            if dmin_override.strip().lower() == "auto":
+                d_min = _auto_cheb_d_min(initial_data_list)
+                logger.info(
+                    "FLASHMD_TPU_CHEB_DMIN=auto: Chebyshev fit-domain "
+                    f"floor {d_min} A (0.7 x the initial structures' min "
+                    "pair distance; the engine warns if the dynamics "
+                    "undercut it)"
+                )
+            else:
+                d_min = float(dmin_override)
             model = model.replace(
                 schnet_config=dataclasses.replace(
-                    model.schnet_config, cheb_d_min=float(dmin_override)
+                    model.schnet_config, cheb_d_min=d_min
                 )
             )
 

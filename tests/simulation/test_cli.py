@@ -151,3 +151,51 @@ def test_apply_batch_size_validation():
     with pytest.raises(ValueError):
         apply_batch_size([1, 2, 3], -1)
     assert apply_batch_size([1, 2, 3], None) == [1, 2, 3]
+
+def test_cheb_dmin_env_override(files, monkeypatch):
+    tmp, cfg_path = files
+    monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "1.25")
+    model, _, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path),
+              "--simulation.filename", "cli_demo_dmin"],
+    )
+    assert model.schnet_config.cheb_d_min == 1.25
+
+
+def test_cheb_dmin_auto_derives_floor(files, monkeypatch):
+    """FLASHMD_TPU_CHEB_DMIN=auto -> 0.7 x the structures' min pair
+    distance (the measured dynamic-dip factor; see _auto_cheb_d_min)."""
+    tmp, cfg_path = files
+    monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "auto")
+    model, data, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path),
+              "--simulation.filename", "cli_demo_dmin_auto"],
+    )
+    d2 = min(
+        float(
+            np.min(
+                np.sum(
+                    (np.asarray(c.pos)[:, None] - np.asarray(c.pos)[None]) ** 2,
+                    axis=-1,
+                )
+                + np.where(np.eye(len(c.pos), dtype=bool), np.inf, 0.0)
+            )
+        )
+        for c in data
+    )
+    expected = round(0.7 * float(np.sqrt(d2)), 2)
+    assert model.schnet_config.cheb_d_min == expected
+    assert 0.0 < model.schnet_config.cheb_d_min
+
+
+def test_cheb_dmin_auto_disabled_with_optim_off(files, monkeypatch):
+    tmp, cfg_path = files
+    monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "auto")
+    model, _, _, _, _ = parse_simulation_config(
+        LangevinSimulation,
+        args=["--config", str(cfg_path), "--disable_optim",
+              "--simulation.filename", "cli_demo_dmin_off"],
+    )
+    assert model.schnet_config.cheb_d_min == 0.0
