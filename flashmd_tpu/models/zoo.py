@@ -212,7 +212,18 @@ def cgschnet_1enh_like(
         # (simulation/base.py _pair_floor_outputs). fp32 parity runs use
         # the full symmetric order on the full domain (~2e-3, the fit
         # floor).
-        cheb_order=cheb_order or (48 if precision.startswith("bf16") else 128),
+        # The forward order is SIZE-AWARE: bf16 accumulation error grows
+        # with the reduction length K = n_atoms, and the measured grid
+        # (PERFORMANCE.md, 2026-08-18) shows (48, 64) reads 9.05e-3 at
+        # A = 532 — past that size's 1.2x-floor budget — while (64, 64)
+        # is its frontier point at 7.32e-3. Sizes past the measured 532
+        # frontier get (64, 64) plus a warning below.
+        cheb_order=cheb_order
+        or (
+            (48 if n_atoms <= 266 else 64)
+            if precision.startswith("bf16")
+            else 128
+        ),
         # An explicit symmetric cheb_order stays symmetric (deriv=None
         # follows cheb_order); only the bf16 default is asymmetric.
         cheb_order_deriv=cheb_order_deriv
@@ -230,6 +241,22 @@ def cgschnet_1enh_like(
             )
         ),
     )
+    if (
+        cheb_order is None
+        and precision.startswith("bf16")
+        and n_atoms > 532
+    ):
+        import warnings
+
+        warnings.warn(
+            f"n_atoms={n_atoms} is past the measured fidelity frontier "
+            "(A=532): the bf16 accumulation error of the Chebyshev path "
+            "grows with the molecule size and the default orders "
+            "(64, 64) were validated only up to 532 beads. Measure the "
+            "force error vs precision='fp32' (benchmarks/fidelity_asym.py)"
+            " or pass explicit cheb_order/cheb_order_deriv.",
+            stacklevel=2,
+        )
     params = init_schnet(jax.random.PRNGKey(seed), config)
 
     if neighbor_capacity is None:

@@ -36,6 +36,39 @@ def test_explicit_order_opts_out_of_restricted_domain():
     assert cfg.cheb_d_min == 0.0  # and full-domain
 
 
+def test_bf16_default_order_is_size_aware():
+    """Fidelity is size-coupled (bf16 accumulation error grows with
+    K = n_atoms): past the 266-bead flagship the measured frontier point
+    is (64, 64) — (48, 64) reads 9.05e-3 at A=532, over that size's
+    budget (PERFORMANCE.md, 2026-08-18)."""
+    ff, _ = cgschnet_1enh_like(
+        precision="bf16", n_atoms=532, batch_size=1, num_interactions=1
+    )
+    cfg = ff.schnet_config
+    assert cfg.cheb_order == 64
+    assert cfg.cheb_order_deriv == 64
+    assert cfg.cheb_d_min == 2.0
+
+
+def test_bf16_default_warns_past_measured_frontier():
+    import warnings
+
+    import pytest
+
+    with pytest.warns(UserWarning, match="measured fidelity frontier"):
+        cgschnet_1enh_like(
+            precision="bf16", n_atoms=533, batch_size=1,
+            num_interactions=1,
+        )
+    # explicit orders silence it — the user has taken over validation
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cgschnet_1enh_like(
+            precision="bf16", n_atoms=533, batch_size=1,
+            num_interactions=1, cheb_order=64,
+        )
+
+
 def test_explicit_d_min_and_deriv_are_honored():
     ff, _ = cgschnet_1enh_like(
         precision="bf16",
