@@ -687,8 +687,14 @@ def save_native_model(model, path: str):
 
 
 def load_native_model(path: str):
+    """Load a native model pkl; a ``(model, configurations)`` tuple (the
+    simulation's ``_specialized_model_and_config.pkl`` dump,
+    simulation/base.py) unwraps to the model."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        obj = pickle.load(f)
+    if isinstance(obj, tuple):
+        return obj[0]
+    return obj
 
 
 def save_native_configurations(configs: List[Configuration], path: str):
@@ -697,5 +703,11 @@ def save_native_configurations(configs: List[Configuration], path: str):
 
 
 def load_native_configurations(path: str) -> List[Configuration]:
+    """Load a native structure pkl; a ``(model, configurations)`` tuple
+    (the ``_specialized_model_and_config.pkl`` dump) unwraps to the
+    configurations."""
     with open(path, "rb") as f:
-        return pickle.load(f)
+        obj = pickle.load(f)
+    if isinstance(obj, tuple):
+        return obj[1]
+    return obj

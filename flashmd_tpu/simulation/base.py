@@ -348,6 +348,24 @@ class Simulation:
     ):
         self._attach_model(model)
         self._attach_configurations(configurations, beta=beta)
+        self._dump_specialized_model(configurations)
+
+    def _dump_specialized_model(self, configurations: List[Configuration]):
+        """Dump the fully attached model (gptq/capacity overrides applied,
+        Chebyshev fits baked in) + configurations next to the outputs, so
+        the exact model that ran is reloadable. Native analog of the
+        reference's ``<filename>_specialized_model_and_config.pt``
+        (reference base.py:330-334, parallel_tempering.py:125-129);
+        consumable as ``model_file`` (checkpoint_io.load_native_model
+        unwraps the tuple)."""
+        if self.filename is None or not is_io_process():
+            return
+        import pickle
+
+        path = f"{self.filename}_specialized_model_and_config.pkl"
+        payload = (jax.tree.map(np.asarray, self.model), configurations)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
 
     def _attach_model(self, model: ForceField):
         if self.gptq is not None and model.schnet_config is not None:

@@ -67,6 +67,7 @@ class PTSimulation(LangevinSimulation):
     def attach_model_and_configurations(self, model, configurations, betas):
         self._attach_model(model)
         self._attach_configurations(configurations, betas)
+        self._dump_specialized_model(configurations)
 
     def _attach_configurations(
         self, configurations: List[Configuration], beta, overdamped=False

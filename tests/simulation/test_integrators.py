@@ -181,6 +181,41 @@ def test_file_outputs_and_resume(tmp_path):
     assert (tmp_path / "traj_coords_0003.npy").exists()
 
 
+def test_specialized_model_dump(tmp_path):
+    """Attach dumps the fully specialized model + configurations
+    (native analog of the reference's _specialized_model_and_config.pt,
+    reference base.py:330-334); the dump is consumable both as a
+    model_file and as a structure_file."""
+    from flashmd_tpu.models.checkpoint_io import (
+        load_native_configurations,
+        load_native_model,
+    )
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+
+    ff, cfgs = cgschnet_1enh_like(
+        n_atoms=8, batch_size=2, num_interactions=1, precision="bf16",
+        message_passing="cheb", cheb_order=8, neighbor_capacity=8,
+    )
+    sim = LangevinSimulation(
+        friction=1.0, dt=1e-3, n_timesteps=10, save_interval=5,
+        filename="dumped", output_dir=str(tmp_path),
+    )
+    sim.attach_model_and_configurations(ff, cfgs, beta=1.67)
+
+    path = tmp_path / "dumped_specialized_model_and_config.pkl"
+    assert path.exists()
+    model = load_native_model(str(path))
+    # the dump holds the ATTACHED model: the Chebyshev fit is baked in
+    assert "cheb_fit" in model.schnet_params
+    configs = load_native_configurations(str(path))
+    assert len(configs) == len(cfgs)
+    np.testing.assert_allclose(
+        np.asarray(configs[0].pos), np.asarray(cfgs[0].pos)
+    )
+    # leaves are numpy (host-portable, no device buffers pickled)
+    assert isinstance(model.schnet_params["embedding"], np.ndarray)
+
+
 def test_divergence_guard_raises():
     sim = NVESimulation(
         dt=10.0,  # absurd timestep -> blow-up
