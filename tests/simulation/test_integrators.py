@@ -216,6 +216,25 @@ def test_specialized_model_dump(tmp_path):
     assert isinstance(model.schnet_params["embedding"], np.ndarray)
 
 
+def test_profiler_window_writes_trace(tmp_path):
+    """profile_start/end_step capture a jax.profiler trace at launch
+    granularity (reference base.py:561-562, 634-636 used
+    cudaProfilerStart/Stop)."""
+    sim = LangevinSimulation(
+        friction=1.0, dt=1e-3, n_timesteps=40, save_interval=5,
+        export_interval=20, filename="prof", output_dir=str(tmp_path),
+        profile_start_step=20, profile_end_step=40,
+    )
+    sim.attach_model_and_configurations(
+        harmonic_ff(4), chain_configs(2, 4), beta=1.0
+    )
+    sim.simulate()
+    trace_dir = tmp_path / "prof_trace"
+    assert trace_dir.is_dir()
+    # xplane protobuf lands under plugins/profile/<ts>/
+    assert list(trace_dir.rglob("*.xplane.pb"))
+
+
 def test_divergence_guard_raises():
     sim = NVESimulation(
         dt=10.0,  # absurd timestep -> blow-up
