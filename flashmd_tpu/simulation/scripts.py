@@ -64,8 +64,35 @@ def _report(simulation):
     logger.info("=" * 50)
 
 
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache for the console scripts: repeat
+    runs of the same config skip the multi-minute TPU compile. The
+    reference gets this for free from torch.compile/inductor's on-disk
+    caches; jit needs it opted in. ``FLASHMD_TPU_COMPILATION_CACHE``
+    overrides the directory; ``0``/``off`` disables."""
+    import os
+
+    target = os.environ.get("FLASHMD_TPU_COMPILATION_CACHE", "")
+    if target.strip().lower() in ("0", "off", "false", "none"):
+        return
+    if not target:
+        target = os.path.join(
+            os.path.expanduser("~"), ".cache", "flashmd_tpu", "xla"
+        )
+    try:
+        os.makedirs(target, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", target)
+        # Cache every compile that takes >= 1 s (the default 2-entry-size
+        # / 1-min thresholds would skip mid-size rollout programs).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as exc:  # pragma: no cover - backend/version dependent
+        logger.warning(f"compilation cache disabled: {exc}")
+
+
 def _run(simulation_class, description: str, betas_are_list: bool = False):
     setup_logging()
+    _enable_compilation_cache()
     model, data_list, betas, simulation, profile = parse_simulation_config(
         simulation_class, description
     )

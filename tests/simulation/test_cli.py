@@ -152,6 +152,31 @@ def test_apply_batch_size_validation():
         apply_batch_size([1, 2, 3], -1)
     assert apply_batch_size([1, 2, 3], None) == [1, 2, 3]
 
+def test_compilation_cache_env_control(monkeypatch, tmp_path):
+    """Console scripts enable the persistent XLA compilation cache;
+    FLASHMD_TPU_COMPILATION_CACHE overrides the directory / disables."""
+    import jax
+
+    from flashmd_tpu.simulation.scripts import _enable_compilation_cache
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cache_dir = tmp_path / "xla_cache"
+        monkeypatch.setenv(
+            "FLASHMD_TPU_COMPILATION_CACHE", str(cache_dir)
+        )
+        _enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+        assert cache_dir.is_dir()
+
+        jax.config.update("jax_compilation_cache_dir", prev)
+        monkeypatch.setenv("FLASHMD_TPU_COMPILATION_CACHE", "off")
+        _enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == prev
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def test_cheb_dmin_env_override(files, monkeypatch):
     tmp, cfg_path = files
     monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "1.25")
