@@ -68,11 +68,18 @@ for m in range(2, ORDER):
     T[m] = 2.0 * z * T[m - 1] - T[m - 2]
 
 
+w0 = np.asarray(w0, np.float64)
+
+
 def conv(matmul):
     out = np.zeros((A, c.shape[1]))
     for m in range(ORDER):
         out += c[m][None, :] * matmul(T[m], x)
-    return out
+    # Self-pair removal, exactly as the real forward applies it
+    # (models/cheb.py _cheb_forward_only: an exact fp32 elementwise op,
+    # not part of the quantized matmuls) — without it the oracle's
+    # normalizing max would include the coherent self-pair term.
+    return out - w0[None, :] * x
 
 
 def mm_f64(t, xx):

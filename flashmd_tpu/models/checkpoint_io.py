@@ -686,15 +686,41 @@ def save_native_model(model, path: str):
         pickle.dump(model, f)
 
 
+SPECIALIZED_DUMP_FORMAT = "flashmd_tpu_specialized_model_and_config_v1"
+
+
+def save_specialized_dump(model, configs: List[Configuration], path: str):
+    """Write the simulation's ``_specialized_model_and_config.pkl`` dump
+    (native analog of the reference's ``_specialized_model_and_config.pt``,
+    reference base.py:330-334): the fully attached model with numpy leaves
+    + the configurations, tagged so the loaders unwrap it by intent
+    rather than by container type."""
+    import jax
+
+    payload = {
+        "format": SPECIALIZED_DUMP_FORMAT,
+        "model": jax.tree.map(np.asarray, model),
+        "configurations": configs,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def _unwrap_specialized(obj, key: str):
+    if (
+        isinstance(obj, dict)
+        and obj.get("format") == SPECIALIZED_DUMP_FORMAT
+    ):
+        return obj[key]
+    return obj
+
+
 def load_native_model(path: str):
-    """Load a native model pkl; a ``(model, configurations)`` tuple (the
-    simulation's ``_specialized_model_and_config.pkl`` dump,
-    simulation/base.py) unwraps to the model."""
+    """Load a native model pkl; a specialized dump
+    (:func:`save_specialized_dump`) unwraps to the model."""
     with open(path, "rb") as f:
         obj = pickle.load(f)
-    if isinstance(obj, tuple):
-        return obj[0]
-    return obj
+    return _unwrap_specialized(obj, "model")
 
 
 def save_native_configurations(configs: List[Configuration], path: str):
@@ -703,11 +729,8 @@ def save_native_configurations(configs: List[Configuration], path: str):
 
 
 def load_native_configurations(path: str) -> List[Configuration]:
-    """Load a native structure pkl; a ``(model, configurations)`` tuple
-    (the ``_specialized_model_and_config.pkl`` dump) unwraps to the
-    configurations."""
+    """Load a native structure pkl; a specialized dump
+    (:func:`save_specialized_dump`) unwraps to the configurations."""
     with open(path, "rb") as f:
         obj = pickle.load(f)
-    if isinstance(obj, tuple):
-        return obj[1]
-    return obj
+    return _unwrap_specialized(obj, "configurations")

@@ -356,16 +356,17 @@ class Simulation:
         the exact model that ran is reloadable. Native analog of the
         reference's ``<filename>_specialized_model_and_config.pt``
         (reference base.py:330-334, parallel_tempering.py:125-129);
-        consumable as ``model_file`` (checkpoint_io.load_native_model
-        unwraps the tuple)."""
+        consumable as ``model_file``/``structure_file`` (the
+        checkpoint_io loaders unwrap the tagged dump)."""
         if self.filename is None or not is_io_process():
             return
-        import pickle
+        from ..models.checkpoint_io import save_specialized_dump
 
-        path = f"{self.filename}_specialized_model_and_config.pkl"
-        payload = (jax.tree.map(np.asarray, self.model), configurations)
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+        save_specialized_dump(
+            self.model,
+            configurations,
+            f"{self.filename}_specialized_model_and_config.pkl",
+        )
 
     def _attach_model(self, model: ForceField):
         if self.gptq is not None and model.schnet_config is not None:

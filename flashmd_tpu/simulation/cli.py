@@ -183,7 +183,7 @@ def load_structure_file(path: str) -> List[Configuration]:
     return checkpoint_io.load_native_configurations(path)
 
 
-def _auto_cheb_d_min(configs: List[Configuration]) -> float:
+def _auto_cheb_d_min(configs: List[Configuration], rcut: float) -> float:
     """Fit-domain floor = 0.7 x the min pair distance over the structures.
 
     The 0.7 factor is the measured dynamic dip of the headline system: a
@@ -194,19 +194,44 @@ def _auto_cheb_d_min(configs: List[Configuration]) -> float:
     derived floor, and pairs below it get first-order-extrapolated
     filter values rather than a runaway tail (models/cheb.py).
 
-    Distances are raw euclidean (no minimum image) — for periodic systems
-    pass an explicit FLASHMD_TPU_CHEB_DMIN instead.
+    Distances are raw euclidean (no minimum image), so periodic
+    structures are refused — pass an explicit FLASHMD_TPU_CHEB_DMIN for
+    those. The derived floor must land inside [0, rcut); degenerate
+    structures (no pair, or min pair distance so large the floor would
+    reach the cutoff) raise rather than crash later with an opaque
+    config error.
     """
     import numpy as np
 
     d2_min = np.inf
     for c in configs:
+        if getattr(c, "cell", None) is not None:
+            raise ValueError(
+                "FLASHMD_TPU_CHEB_DMIN=auto uses raw euclidean pair "
+                "distances and cannot derive a sound floor for periodic "
+                "structures (the closest minimum-image pair may cross "
+                "the boundary). Pass an explicit distance instead."
+            )
         pos = np.asarray(c.pos, dtype=np.float64)
-        rel = pos[:, None, :] - pos[None, :, :]
-        d2 = np.sum(rel * rel, axis=-1)
+        # |p_i - p_j|^2 via the Gram trick: O(A^2) memory, no [A, A, 3].
+        sq = np.sum(pos * pos, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (pos @ pos.T)
         np.fill_diagonal(d2, np.inf)
         d2_min = min(d2_min, float(d2.min()))
-    return round(0.7 * float(np.sqrt(d2_min)), 2)
+    if not np.isfinite(d2_min):
+        raise ValueError(
+            "FLASHMD_TPU_CHEB_DMIN=auto needs at least one structure "
+            "with >= 2 atoms to derive the fit-domain floor."
+        )
+    d_min = round(0.7 * float(np.sqrt(max(d2_min, 0.0))), 2)
+    if d_min >= rcut:
+        raise ValueError(
+            f"FLASHMD_TPU_CHEB_DMIN=auto derived {d_min} A, which is not "
+            f"below the model cutoff {rcut} A — the structures' minimum "
+            "pair distance is too large for a restricted-domain fit to "
+            "make sense. Pass an explicit distance or unset the flag."
+        )
+    return d_min
 
 
 def parse_simulation_config(
@@ -271,9 +296,11 @@ def parse_simulation_config(
         )
 
     model = load_model_file(str(config["model_file"]))
-    initial_data_list = load_structure_file(str(config["structure_file"]))
+    # raw list kept for derivations that only need the UNIQUE structures
+    # (apply_batch_size deepcopy-expands to the batch).
+    raw_data_list = load_structure_file(str(config["structure_file"]))
     initial_data_list = apply_batch_size(
-        initial_data_list, config.get("batch_size")
+        raw_data_list, config.get("batch_size")
     )
 
     # A reference model_and_prior.pt (or a natively re-pickled conversion of
@@ -328,8 +355,9 @@ def parse_simulation_config(
         # structures (_auto_cheb_d_min).
         dmin_override = os.environ.get("FLASHMD_TPU_CHEB_DMIN")
         if dmin_override and not (ns.disable_optim or env_disable):
+            rcut = float(model.schnet_config.cutoff.cutoff_upper)
             if dmin_override.strip().lower() == "auto":
-                d_min = _auto_cheb_d_min(initial_data_list)
+                d_min = _auto_cheb_d_min(raw_data_list, rcut)
                 logger.info(
                     "FLASHMD_TPU_CHEB_DMIN=auto: Chebyshev fit-domain "
                     f"floor {d_min} A (0.7 x the initial structures' min "
@@ -343,6 +371,17 @@ def parse_simulation_config(
                     model.schnet_config, cheb_d_min=d_min
                 )
             )
+            # A reloaded specialized dump carries the PREVIOUS domain's
+            # fitted coefficients baked into schnet_params — evaluating
+            # them on the new d_min's z-mapping would be silently wrong
+            # physics. Strip the fit so attach re-fits on [d_min, rcut].
+            if (
+                model.schnet_params is not None
+                and "cheb_fit" in model.schnet_params
+            ):
+                params = dict(model.schnet_params)
+                params.pop("cheb_fit")
+                model = model.replace(schnet_params=params)
 
     # Mesh from config/CLI: `--simulation.mesh auto` shards the batch over
     # every visible device (after jax.distributed auto-init when a cluster

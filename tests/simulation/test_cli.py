@@ -215,6 +215,95 @@ def test_cheb_dmin_auto_derives_floor(files, monkeypatch):
     assert 0.0 < model.schnet_config.cheb_d_min
 
 
+def test_cheb_dmin_auto_refuses_periodic(files, tmp_path, monkeypatch):
+    """auto derivation uses raw euclidean distances — periodic structures
+    must be refused, not silently over-floored."""
+    import dataclasses as dc
+
+    import yaml as _yaml
+
+    tmp, cfg_path = files
+    _, configs = cgschnet_1enh_like(
+        n_atoms=16, batch_size=1, num_interactions=2, precision="fp32",
+        neighbor_capacity=8,
+    )
+    periodic = [
+        dc.replace(c, cell=np.eye(3, dtype=np.float64) * 50.0)
+        for c in configs
+    ]
+    save_native_configurations(periodic, str(tmp_path / "periodic.pkl"))
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["structure_file"] = str(tmp_path / "periodic.pkl")
+    cfg["simulation"]["filename"] = "cli_demo_dmin_pbc"
+    pbc_cfg = tmp_path / "config_pbc.yaml"
+    _yaml.safe_dump(cfg, open(pbc_cfg, "w"))
+    monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "auto")
+    with pytest.raises(ValueError, match="periodic"):
+        parse_simulation_config(
+            LangevinSimulation, args=["--config", str(pbc_cfg)]
+        )
+
+
+def test_cheb_dmin_auto_validates_degenerate(monkeypatch):
+    """< 2 atoms (no pair) and floors at/above rcut raise at derivation
+    time with a self-explanatory message, not later as an opaque config
+    error."""
+    from flashmd_tpu.data.system import Configuration
+    from flashmd_tpu.simulation.cli import _auto_cheb_d_min
+
+    one_atom = Configuration(
+        pos=np.zeros((1, 3)), atom_types=np.zeros(1, np.int32),
+        masses=np.ones(1),
+    )
+    with pytest.raises(ValueError, match=">= 2 atoms"):
+        _auto_cheb_d_min([one_atom], rcut=10.0)
+
+    sparse = Configuration(
+        pos=np.array([[0.0, 0.0, 0.0], [30.0, 0.0, 0.0]]),
+        atom_types=np.zeros(2, np.int32), masses=np.ones(2),
+    )
+    with pytest.raises(ValueError, match="not.*below the model cutoff"):
+        _auto_cheb_d_min([sparse], rcut=10.0)
+
+
+def test_cheb_dmin_override_strips_baked_fit(files, tmp_path, monkeypatch):
+    """Overriding the fit domain on a model whose Chebyshev fit is
+    already baked (a reloaded specialized dump) must force a RE-FIT —
+    evaluating the old domain's coefficients on the new z-mapping would
+    be silently wrong physics."""
+    import yaml as _yaml
+
+    from flashmd_tpu.models.checkpoint_io import save_specialized_dump
+
+    tmp, cfg_path = files
+    ff, configs = cgschnet_1enh_like(
+        n_atoms=16, batch_size=1, num_interactions=2, precision="bf16",
+        message_passing="cheb", cheb_order=8, neighbor_capacity=8,
+    )
+    from flashmd_tpu.models.cheb import attach_cheb_fit
+
+    ff = ff.replace(
+        schnet_params=attach_cheb_fit(ff.schnet_params, ff.schnet_config)
+    )
+    assert "cheb_fit" in ff.schnet_params
+    dump = tmp_path / "dump.pkl"
+    save_specialized_dump(ff, configs, str(dump))
+
+    cfg = _yaml.safe_load(open(cfg_path))
+    cfg["model_file"] = str(dump)
+    cfg["structure_file"] = str(dump)
+    cfg["simulation"]["filename"] = "cli_demo_dmin_strip"
+    strip_cfg = tmp_path / "config_strip.yaml"
+    _yaml.safe_dump(cfg, open(strip_cfg, "w"))
+
+    monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "1.25")
+    model, _, _, _, _ = parse_simulation_config(
+        LangevinSimulation, args=["--config", str(strip_cfg)]
+    )
+    assert model.schnet_config.cheb_d_min == 1.25
+    assert "cheb_fit" not in model.schnet_params  # attach will re-fit
+
+
 def test_cheb_dmin_auto_disabled_with_optim_off(files, monkeypatch):
     tmp, cfg_path = files
     monkeypatch.setenv("FLASHMD_TPU_CHEB_DMIN", "auto")
