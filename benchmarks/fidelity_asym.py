@@ -31,6 +31,10 @@ FIT_ORDER = int(os.environ.get("FIT_ORDER", "96"))
 # comparable.
 FIT_DMIN = float(os.environ.get("FIT_DMIN", "0"))
 N_ATOMS = int(os.environ.get("N_ATOMS", "266"))
+# Measurement precision of the cheb path (bf16 | bf16x3 | fp32): the
+# (M1, M2) grid at a non-bf16 tier shows where the FIT error floor sits
+# once MXU truncation is removed.
+FIT_PRECISION = os.environ.get("FIT_PRECISION", "bf16")
 
 ff, configs = cgschnet_1enh_like(
     n_atoms=N_ATOMS, batch_size=4, precision="fp32", message_passing="xla"
@@ -66,7 +70,7 @@ scale = np.abs(f_ref).max()
 print("ref scale:", scale, flush=True)
 
 cfg2 = dataclasses.replace(
-    ff.schnet_config, precision="bf16", message_passing="cheb",
+    ff.schnet_config, precision=FIT_PRECISION, message_passing="cheb",
     cheb_order=FIT_ORDER, cheb_d_min=FIT_DMIN,
 )
 p_full = attach_cheb_fit(ff.schnet_params, cfg2)

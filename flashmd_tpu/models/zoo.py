@@ -218,16 +218,29 @@ def cgschnet_1enh_like(
         # A = 532 — past that size's 1.2x-floor budget — while (64, 64)
         # is its frontier point at 7.32e-3. Sizes past the measured 532
         # frontier get (64, 64) plus a warning below.
+        # bf16x3 (hi/lo operand split) has a ~1.9e-3 floor, so its fit
+        # must not bind: the measured bf16x3 grid at FIT_DMIN=2.0
+        # (2026-08-18, v5e) reads (64, 96) = 1.90e-3 vs (48, 64) =
+        # 5.67e-3 — the bf16 default would silently waste the split's
+        # extra passes, so the tier gets its own (64, 96) default.
         cheb_order=cheb_order
         or (
-            (48 if n_atoms <= 266 else 64)
-            if precision.startswith("bf16")
-            else 128
+            64
+            if precision == "bf16x3"
+            else (
+                (48 if n_atoms <= 266 else 64)
+                if precision.startswith("bf16")
+                else 128
+            )
         ),
         # An explicit symmetric cheb_order stays symmetric (deriv=None
-        # follows cheb_order); only the bf16 default is asymmetric.
+        # follows cheb_order); only the bf16-tier defaults are asymmetric.
         cheb_order_deriv=cheb_order_deriv
-        or (64 if cheb_order is None and precision.startswith("bf16") else None),
+        or (
+            (96 if precision == "bf16x3" else 64)
+            if cheb_order is None and precision.startswith("bf16")
+            else None
+        ),
         # An explicit cheb_order also opts out of the restricted-domain
         # default — mixing a hand-picked order with an implicit d_min
         # would silently change which fit the order was validated on.
@@ -250,11 +263,11 @@ def cgschnet_1enh_like(
 
         warnings.warn(
             f"n_atoms={n_atoms} is past the measured fidelity frontier "
-            "(A=532): the bf16 accumulation error of the Chebyshev path "
-            "grows with the molecule size and the default orders "
-            "(64, 64) were validated only up to 532 beads. Measure the "
-            "force error vs precision='fp32' (benchmarks/fidelity_asym.py)"
-            " or pass explicit cheb_order/cheb_order_deriv.",
+            "(A=532): the 16-bit accumulation error of the Chebyshev "
+            "path grows with the molecule size and the default orders "
+            "were validated only up to 532 beads. Measure the force "
+            "error vs precision='fp32' (benchmarks/fidelity_asym.py) "
+            "or pass explicit cheb_order/cheb_order_deriv.",
             stacklevel=2,
         )
     params = init_schnet(jax.random.PRNGKey(seed), config)

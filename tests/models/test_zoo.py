@@ -69,6 +69,17 @@ def test_bf16_default_warns_past_measured_frontier():
         )
 
 
+def test_bf16x3_default_has_its_own_frontier_point():
+    """bf16x3's floor is ~1.9e-3, so the bf16 (48, 64) default would
+    silently fit-limit the tier at 5.67e-3 (measured grid, 2026-08-18);
+    it gets (64, 96) on the restricted domain instead."""
+    ff, _ = cgschnet_1enh_like(precision="bf16x3", **_SMALL)
+    cfg = ff.schnet_config
+    assert cfg.cheb_order == 64
+    assert cfg.cheb_order_deriv == 96
+    assert cfg.cheb_d_min == 2.0
+
+
 def test_explicit_d_min_and_deriv_are_honored():
     ff, _ = cgschnet_1enh_like(
         precision="bf16",
