@@ -110,7 +110,11 @@ def _project(values, order: int, n_nodes: int):
     tmk = jnp.cos(
         m[:, None] * math.pi * (k[None, :] + 0.5) / n_nodes
     )  # [M, N]
-    c = (2.0 / n_nodes) * (tmk @ values)
+    # Fit-time, loop-invariant: always full precision (on TPU a DEFAULT
+    # dot would truncate the node values to bf16 inside the projection).
+    c = (2.0 / n_nodes) * jnp.dot(
+        tmk, values, precision=jax.lax.Precision.HIGHEST
+    )
     # jnp.float32 scalar keeps the scatter-mul promotion-safe under x64
     # (a weak python float would promote to f64 and FutureWarning/raise).
     return c.at[0].mul(jnp.float32(0.5).astype(c.dtype))
@@ -198,7 +202,7 @@ def fit_chebyshev_filter(
 
     # Exact self-pair value W'(z=-1) = (1-(-1))^2 sum_m c_m T_m(-1).
     signs = jnp.where(jnp.arange(order) % 2 == 0, 1.0, -1.0)
-    w0 = 4.0 * (signs @ c)  # [F]
+    w0 = 4.0 * jnp.dot(signs, c, precision=jax.lax.Precision.HIGHEST)  # [F]
     return c, c2, w0
 
 
@@ -457,7 +461,7 @@ def _lin_slope(c2):
     """dW'/dd at the fit-domain floor: the (1-z) T_m series at z = -1,
     i.e. 2 sum_m (-1)^m c2[m]  -> [F]. Loop-invariant; XLA hoists it."""
     signs = jnp.where(jnp.arange(c2.shape[0]) % 2 == 0, 1.0, -1.0)
-    return 2.0 * (signs @ c2)
+    return 2.0 * jnp.dot(signs, c2, precision=jax.lax.Precision.HIGHEST)
 
 
 def _low_matrix(d, d_min):

@@ -251,7 +251,9 @@ def interaction_block_apply(block_params, config: SchNetConfig, x, d, rbf, nbr):
         act = ACTIVATIONS[config.activation]
     return (
         jnp.dot(
-            act(y), block_params["lin_w"], 
+            act(y),
+            block_params["lin_w"],
+            precision=dot_precision(config.precision),
         )
         + block_params["lin_b"]
     )
