@@ -14,8 +14,10 @@ TPU-native differences:
   batch axis — no host round-trip. The reference syncs energies to the CPU
   for the Metropolis draw every exchange (parallel_tempering.py:393-394);
   here the draw stays on device.
-* Forces and potentials are permuted together with positions/velocities, so
-  the post-exchange state is exactly consistent. (The reference leaves the
+* EVERY batch-leading carry leaf is permuted together with positions and
+  velocities — forces, potentials, and the full neighbor state (indices,
+  masks, PBC shift vectors, Verlet-skin reference positions) — so the
+  post-exchange state is exactly consistent. (The reference leaves the
   pre-exchange forces in place until the next force evaluation,
   parallel_tempering.py:415-481 — a small inconsistency we do not copy.)
 * Acceptance/rejection statistics live in the scan carry and are exported
@@ -194,27 +196,42 @@ class PTSimulation(LangevinSimulation):
             carry["vel"].dtype
         )
 
-        new_carry = {
-            **carry,
-            "pos": carry["pos"][perm],
-            "vel": carry["vel"][perm] * vscale,
-            "forces": carry["forces"][perm],
-            "potential": carry["potential"][perm],
-            "key": key,
-            **(
-                {
-                    "nbr_idx": carry["nbr_idx"][perm],
-                    "nbr_mask": carry["nbr_mask"][perm],
-                }
-                if "nbr_idx" in carry
-                else {}
-            ),
-            "exchange_parity": 1 - parity,
-            "n_exchange_approved": carry["n_exchange_approved"]
-            + jnp.sum(approved).astype(jnp.int32),
-            "n_exchange_attempted": carry["n_exchange_attempted"]
-            + jnp.sum(valid).astype(jnp.int32),
+        # Permute EVERY batch-leading carry leaf (same rule as
+        # parallel.mesh.shard_carry): pos/vel/forces/potential AND the full
+        # neighbor state — nbr_idx/nbr_mask plus the PBC shift vectors and
+        # the Verlet-skin reference positions. Leaving any per-sim leaf
+        # behind desynchronizes it from its replica after a swap (stale
+        # shifts = silently wrong periodic forces until the next rebuild;
+        # stale ref_pos = displacement measured against the wrong
+        # reference). Non-batch bookkeeping is excluded by name so a
+        # [n_replicas, n_replicas] acceptance matrix can never be caught
+        # by the shape rule when n_replicas == n_sims.
+        not_permuted = {
+            "key",
+            "vel",
+            "exchange_parity",
+            "acceptance_matrix",
+            "n_exchange_approved",
+            "n_exchange_attempted",
         }
+
+        def permute(name, x):
+            if name in not_permuted:
+                return x
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == n_sims:
+                return x[perm]
+            return x
+
+        new_carry = {k: permute(k, v) for k, v in carry.items()}
+        new_carry.update(
+            vel=carry["vel"][perm] * vscale,
+            key=key,
+            exchange_parity=1 - parity,
+            n_exchange_approved=carry["n_exchange_approved"]
+            + jnp.sum(approved).astype(jnp.int32),
+            n_exchange_attempted=carry["n_exchange_attempted"]
+            + jnp.sum(valid).astype(jnp.int32),
+        )
 
         # Acceptance/rejection matrix (reference:
         # parallel_tempering.py:399-413): upper triangle counts accepts,
