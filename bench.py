@@ -82,8 +82,15 @@ def main():
     t0 = time.perf_counter()
     for _ in range(n_chunks - half):
         carry, frames = rollout(carry)
+    # Fence the timed region with a SCALAR HOST FETCH, not just
+    # block_until_ready: through the axon tunnel block_until_ready can
+    # return before the device work drains (see the project benchmarking
+    # notes), and the iterations above are already carry-dependent, so a
+    # value fetched from the final carry is a sound fence everywhere.
+    fence = float(jnp.sum(carry["pos"]))
     jax.block_until_ready(carry["pos"])
     elapsed = time.perf_counter() - t0
+    assert fence == fence, "NaN positions at the end of the timed run"
 
     steps_timed = (n_chunks - half) * chunk
     throughput = steps_timed * batch_size / elapsed
@@ -94,6 +101,45 @@ def main():
         "unit": "timestep*mol/s",
         "vs_baseline": round(throughput / BASELINE, 3),
     }
+
+    # Corroboration: the same config through the PRODUCTION loop
+    # (sim.simulate() with real npy/checkpoint file IO and the pair-floor
+    # guard — what the CLI runs), whose per-export np.save calls fetch
+    # device arrays to host and are therefore immune to tunnel sync
+    # semantics. Expected ~10% below the pure-compute number
+    # (PERFORMANCE.md "End-to-end CLI check"). BENCH_CLI_IO=0 skips it.
+    if os.environ.get("BENCH_CLI_IO", "1") != "0":
+        import tempfile
+
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                sim_io = LangevinSimulation(
+                    dt=0.004,
+                    friction=1.0,
+                    n_timesteps=n_steps,
+                    save_interval=chunk,
+                    export_interval=2 * chunk,
+                    filename="bench",
+                    output_dir=td,
+                    save_forces=True,
+                    save_energies=True,
+                    random_seed=103838,
+                    gptq="bf16" if precision == "bf16" else None,
+                    neighbor_skin=1.0,
+                    neighbor_rebuild_interval=int(
+                        os.environ.get("BENCH_NBR_INTERVAL", "10")
+                    ),
+                )
+                sim_io.attach_model_and_configurations(
+                    ff, configs, beta=1.67
+                )
+                sim_io.simulate()
+                metrics = sim_io.get_throughput_metrics()
+                if metrics:
+                    result["cli_io_value"] = round(metrics["throughput"], 1)
+        except Exception as e:  # corroboration must never kill the bench
+            result["cli_io_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(result))
     return result
 
