@@ -134,6 +134,11 @@ class Configuration:
     # systems; None = open boundaries (reference AtomicData cell/pbc,
     # atomic_data.py:67-94).
     cell: Optional[np.ndarray] = None
+    # Optional [2, P] atom-index pairs to EXCLUDE from the SchNet radius
+    # graph (reference ``exc_pair_index``, consumed by the fused radius
+    # kernel at schnet.py:221-242; without that kernel the reference
+    # refuses to run). Treated as undirected.
+    exc_pair_index: Optional[np.ndarray] = None
     tag: str = ""
 
     def __post_init__(self):
@@ -157,6 +162,20 @@ class Configuration:
             self.velocities = np.asarray(self.velocities, dtype=np.float64)
             if self.velocities.shape != self.pos.shape:
                 raise ValueError("velocities shape must match pos")
+        if self.exc_pair_index is not None:
+            epi = np.asarray(self.exc_pair_index, dtype=np.int64)
+            if epi.ndim != 2 or 2 not in epi.shape:
+                raise ValueError(
+                    f"exc_pair_index must be [2, P] pairs, got {epi.shape}"
+                )
+            if epi.shape[0] != 2:  # accept the transposed [P, 2] layout
+                epi = epi.T
+            if epi.size and (epi.min() < 0 or epi.max() >= self.n_atoms):
+                raise ValueError(
+                    "exc_pair_index refers to atoms outside [0, "
+                    f"{self.n_atoms})"
+                )
+            self.exc_pair_index = epi
 
     @property
     def n_atoms(self) -> int:
@@ -171,6 +190,7 @@ class Configuration:
         velocities=None,
         neighbor_lists=None,
         cell=None,
+        exc_pair_index=None,
         tag: str = "",
     ) -> "Configuration":
         """Construct from raw arrays (reference:
@@ -182,6 +202,9 @@ class Configuration:
             velocities=None if velocities is None else np.asarray(velocities),
             neighbor_lists=dict(neighbor_lists or {}),
             cell=None if cell is None else np.asarray(cell),
+            exc_pair_index=(
+                None if exc_pair_index is None else np.asarray(exc_pair_index)
+            ),
             tag=tag,
         )
 
@@ -265,6 +288,19 @@ def validate_configurations(configurations: Sequence[Configuration]):
         if (cfg.cell is None) != (ref.cell is None):
             raise ValueError(
                 f"Inconsistent cell specification at frame {frame}."
+            )
+        same_exc = (
+            (cfg.exc_pair_index is None) == (ref.exc_pair_index is None)
+        ) and (
+            cfg.exc_pair_index is None
+            or np.array_equal(cfg.exc_pair_index, ref.exc_pair_index)
+        )
+        if not same_exc:
+            # Like atom_types, the exclusion list is a property of THE
+            # molecule, which the batch shares by construction.
+            raise ValueError(
+                f"exc_pair_index at frame {frame} does not match previous "
+                "frames."
             )
 
 

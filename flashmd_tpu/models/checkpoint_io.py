@@ -172,6 +172,28 @@ def _mlp_np(mlp) -> Dict[str, list]:
     return {"layers": layers}
 
 
+def _output_network_np(mod):
+    """SchNet output network -> params. Handles both a plain reference MLP
+    and a TypesMLP (reference mlp.py:60-121): a shared-weights TypesMLP
+    collapses to its single MLP; a per-species one becomes the
+    ``{"species", "mlps"}`` bank consumed by ``types_mlp_apply``."""
+    if _class_name(mod) == "TypesMLP":
+        inner = _attr(mod, "mlp")
+        species = _attr(mod, "species")
+        if species is None:
+            return _mlp_np(inner)
+        return {
+            "species": _np(species).astype(np.int32),
+            "mlps": [_mlp_np(m) for m in _children(inner).values()],
+        }
+    return _mlp_np(mod)
+
+
+def _output_first_mlp(output: dict) -> dict:
+    """The (or a representative) plain-MLP params of an output network."""
+    return output["mlps"][0] if "mlps" in output else output
+
+
 def _activation_name(mlp) -> str:
     layers_mod = _attr(mlp, "layers")
     for child in _children(layers_mod).values():
@@ -252,10 +274,14 @@ _DEFAULT_ORDER = {
 }
 
 
-def _unwrap_gradients_out(mod):
-    """GradientsOut(model=X) -> X (reference gradients.py:194-293)."""
-    if _class_name(mod) == "GradientsOut":
-        return _attr(mod, "model")
+def _unwrap_output_wrappers(mod):
+    """GradientsOut(X) / EnergyOut(X) -> X, recursively.
+
+    Both wrappers hold the wrapped module as ``.model`` and only re-route
+    outputs (reference gradients.py:161-191 EnergyOut, :194-293
+    GradientsOut); the physics is the wrapped module's."""
+    while _class_name(mod) in ("GradientsOut", "EnergyOut"):
+        mod = _attr(mod, "model")
     return mod
 
 
@@ -294,7 +320,7 @@ def _extract_schnet(schnet) -> tuple:
             }
         )
 
-    output = _mlp_np(_attr(schnet, "output_network"))
+    output = _output_network_np(_attr(schnet, "output_network"))
     params = {
         "embedding": embedding,
         "rbf": {"offset": offset, "coeff": coeff},
@@ -312,7 +338,8 @@ def _extract_schnet(schnet) -> tuple:
         cutoff=conv_cutoff,
         rbf_cutoff=rbf_cutoff,
         output_hidden_layer_widths=tuple(
-            layer["w"].shape[1] for layer in output["layers"][:-1]
+            layer["w"].shape[1]
+            for layer in _output_first_mlp(output)["layers"][:-1]
         ),
         activation=filter_act,
         max_num_neighbors=int(_attr(schnet, "max_num_neighbors", 1000)),
@@ -361,33 +388,49 @@ def _extract_prior(name: str, prior) -> Optional[ReferencePrior]:
     )
 
 
-def extract_reference_model(root) -> ReferenceModel:
+def extract_reference_model(
+    root, allow_unconvertible: bool = False
+) -> ReferenceModel:
     """Walk an unpickled (stubbed) module tree into a ReferenceModel.
 
     Handles the checkpoint contract GradientsOut(SumOut({name: model}))
-    (reference: pyg_forward_compatibility.py:85-115 _search_for_model).
+    (reference: pyg_forward_compatibility.py:85-115 _search_for_model);
+    ``EnergyOut``-wrapped entries unwrap like ``GradientsOut``.
+
+    An entry that cannot be converted is a HARD ERROR by default —
+    silently dropping a prior would change the physics of the
+    simulation. ``allow_unconvertible=True`` downgrades it to a warning
+    and skips the entry (explicit opt-in).
     """
-    root = _unwrap_gradients_out(root)
+    root = _unwrap_output_wrappers(root)
     schnet_params = None
     schnet_config = None
     priors: List[ReferencePrior] = []
 
+    def handle_prior(name, entry):
+        p = _extract_prior(name, entry)
+        if p is not None:
+            priors.append(p)
+        elif not allow_unconvertible:
+            raise ValueError(
+                f"Checkpoint entry {name!r} (class "
+                f"{_class_name(entry)!r}) is not convertible; refusing to "
+                "silently drop physics. Pass allow_unconvertible=True "
+                "(CLI: --allow_unconvertible) to skip it explicitly."
+            )
+
     if _class_name(root) == "SumOut":
         models = _children(_attr(root, "models"))
         for name, entry in models.items():
-            entry = _unwrap_gradients_out(entry)
+            entry = _unwrap_output_wrappers(entry)
             if _class_name(entry) in ("SchNet", "StandardSchNet"):
                 schnet_params, schnet_config = _extract_schnet(entry)
             else:
-                p = _extract_prior(name, entry)
-                if p is not None:
-                    priors.append(p)
+                handle_prior(name, entry)
     elif _class_name(root) in ("SchNet", "StandardSchNet"):
         schnet_params, schnet_config = _extract_schnet(root)
     else:
-        p = _extract_prior(_class_name(root), root)
-        if p is not None:
-            priors.append(p)
+        handle_prior(_class_name(root), root)
 
     return ReferenceModel(
         schnet_params=schnet_params,
@@ -396,7 +439,9 @@ def extract_reference_model(root) -> ReferenceModel:
     )
 
 
-def load_reference_checkpoint(path: str) -> ReferenceModel:
+def load_reference_checkpoint(
+    path: str, allow_unconvertible: bool = False
+) -> ReferenceModel:
     """model_and_prior.pt -> ReferenceModel
     (replaces reference load_and_adapt_old_checkpoint,
     pyg_forward_compatibility.py:227-243)."""
@@ -405,7 +450,9 @@ def load_reference_checkpoint(path: str) -> ReferenceModel:
         # `<filename>_specialized_model_and_config.pt` stores
         # (model, configurations) (reference base.py:330-334).
         root = root[0]
-    return extract_reference_model(root)
+    return extract_reference_model(
+        root, allow_unconvertible=allow_unconvertible
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -463,6 +510,10 @@ def load_reference_configurations(path: str) -> List[Configuration]:
             )
         masses = mapping.get("masses")
         velocities = mapping.get("velocities")
+        # Structure-level pair exclusions ride the AtomicData as
+        # ``exc_pair_index`` (reference schnet.py:221-242); carry them so
+        # build_forcefield can bind them to the neighbor search.
+        exc = mapping.get("exc_pair_index")
         configs.append(
             Configuration(
                 pos=_np(mapping["pos"]),
@@ -472,6 +523,7 @@ def load_reference_configurations(path: str) -> List[Configuration]:
                 neighbor_lists=_term_lists_from_reference_nl(
                     mapping.get("neighbor_list")
                 ),
+                exc_pair_index=None if exc is None else _np(exc),
                 tag=str(mapping.get("tag", "")),
             )
         )
@@ -554,7 +606,9 @@ def build_prior(
     )
 
 
-def optimized_schnet_config(config: SchNetConfig) -> SchNetConfig:
+def optimized_schnet_config(
+    config: SchNetConfig, has_exclusions: bool = False
+) -> SchNetConfig:
     """Optimizations-on defaults for an ingested checkpoint.
 
     The reference runs every optimization by default (env flags default "1",
@@ -570,6 +624,16 @@ def optimized_schnet_config(config: SchNetConfig) -> SchNetConfig:
     """
     if config is None:
         return config
+    if has_exclusions:
+        # The matmul-only cheb path evaluates ALL pairs within rcut — it
+        # cannot drop excluded pairs. The gather path honors them.
+        logger.info(
+            "[convert] structure carries exc_pair_index; using the exact "
+            "gather message-passing path (message_passing='xla', bf16)."
+        )
+        return dataclasses.replace(
+            config, message_passing="xla", precision="bf16"
+        )
     eligible = (
         isinstance(config.cutoff, CosineCutoff)
         and config.cutoff.cutoff_lower == 0
@@ -597,6 +661,7 @@ def build_forcefield(
     dtype=jnp.float32,
     neighbor_capacity: Optional[int] = None,
     optimize: bool = True,
+    allow_missing_priors: bool = False,
 ) -> ForceField:
     """Bind a converted checkpoint to a molecule -> runnable ForceField.
 
@@ -604,17 +669,32 @@ def build_forcefield(
     optimizations-on-by-default) selects the fast message-passing path via
     :func:`optimized_schnet_config`; ``optimize=False`` keeps the exact
     fp32/xla parity path.
+
+    A prior whose neighbor list is missing from the structure is a HARD
+    ERROR by default (dropping it would silently change the physics);
+    ``allow_missing_priors=True`` downgrades to a warning and skips.
     """
     schnet_params = None
     if ref_model.schnet_params is not None:
         schnet_params = _tree_to_jnp(ref_model.schnet_params, dtype)
     schnet_config = ref_model.schnet_config
+    exc = configuration.exc_pair_index
     if optimize and schnet_config is not None:
-        schnet_config = optimized_schnet_config(schnet_config)
+        schnet_config = optimized_schnet_config(
+            schnet_config, has_exclusions=exc is not None
+        )
 
     priors = {}
     for rp in ref_model.priors:
         if rp.name not in configuration.neighbor_lists:
+            if not allow_missing_priors:
+                raise ValueError(
+                    f"The checkpoint's prior {rp.name!r} has no matching "
+                    "neighbor list in the structure file; refusing to "
+                    "silently drop physics. Pass allow_missing_priors="
+                    "True (CLI: --allow_unconvertible) to skip it "
+                    "explicitly."
+                )
             logger.warning(
                 f"Structure has no neighbor list {rp.name!r}; prior skipped."
             )
@@ -657,6 +737,7 @@ def build_forcefield(
         priors=priors,
         schnet_config=schnet_config,
         neighbor_capacity=neighbor_capacity,
+        exc_pair_index=None if exc is None else jnp.asarray(exc, jnp.int32),
     )
 
 

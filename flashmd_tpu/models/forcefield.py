@@ -49,6 +49,10 @@ class ForceField(struct.PyTreeNode):
         pytree_node=False, default=None
     )
     neighbor_capacity: int = struct.field(pytree_node=False, default=64)
+    # Optional [2, P] atom pairs excluded from the SchNet radius graph
+    # (the structure's ``exc_pair_index``, reference schnet.py:221-242),
+    # bound here at build_forcefield time like the specialized priors.
+    exc_pair_index: Optional[jnp.ndarray] = None
 
     @property
     def rcut(self) -> float:
@@ -125,12 +129,17 @@ def build_neighbors(
     moves from beyond rcut+skin to within rcut between rebuilds — the
     classic Verlet-list amortization, which the reference (rebuilding the
     graph every step) pays for in full.
+
+    The force field's ``exc_pair_index`` (structure-level pair
+    exclusions, reference schnet.py:221-242) is honored here — excluded
+    pairs never enter the SchNet graph.
     """
     return batched_radius_neighbor_matrix(
         jax.lax.stop_gradient(pos_batch),
         rcut=ff.rcut + skin,
         capacity=ff.neighbor_capacity,
         cell=cell,
+        exclude_pairs=ff.exc_pair_index,
     )
 
 
@@ -170,6 +179,17 @@ def compute_energy_forces(
                 "Periodic cells require message_passing='xla' or 'cheb' "
                 f"(got {ff.schnet_config.message_passing!r}); the dense/"
                 "pallas paths compute pair geometry from raw positions."
+            )
+    if ff.exc_pair_index is not None and ff.schnet_params is not None:
+        if ff.schnet_config.message_passing in ("dense", "cheb"):
+            # The all-pairs paths have no neighbor list to drop pairs
+            # from; running them would silently include excluded pairs
+            # (the reference likewise refuses rather than ignores,
+            # schnet.py:221-227).
+            raise NotImplementedError(
+                "Structure-level pair exclusions (exc_pair_index) require "
+                "a neighbor-list message-passing path ('xla' or 'pallas'); "
+                f"got {ff.schnet_config.message_passing!r}."
             )
     needs_nbr = (
         ff.schnet_params is not None

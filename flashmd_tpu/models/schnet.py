@@ -40,7 +40,13 @@ import jax.numpy as jnp
 
 from ..ops.neighborlist import NeighborMatrix
 from .cutoff import CosineCutoff, _Cutoff
-from .mlp import dot_precision, init_mlp, mlp_apply, xavier_uniform
+from .mlp import (
+    dot_precision,
+    init_mlp,
+    mlp_apply,
+    types_mlp_apply,
+    xavier_uniform,
+)
 from .radial_basis import (
     GaussianBasisConfig,
     gaussian_basis_apply,
@@ -185,6 +191,32 @@ def init_schnet(key, config: SchNetConfig, dtype=jnp.float32):
             }
         )
     return params
+
+
+def output_energies(params, config: SchNetConfig, x, atom_types):
+    """Per-atom energies from the output head: [A, H] features -> [A].
+
+    Dispatches between a plain MLP head (reference StandardSchNet,
+    schnet.py:743-841) and a per-species TypesMLP bank (reference
+    mlp.py:60-121) — the latter arrives via checkpoint ingestion
+    (models/checkpoint_io._output_network_np)."""
+    out = params["output"]
+    if isinstance(out, dict) and "mlps" in out:
+        e = types_mlp_apply(
+            out,
+            x,
+            atom_types,
+            activation=config.activation,
+            precision=config.precision,
+        )
+    else:
+        e = mlp_apply(
+            out,
+            x,
+            activation=config.activation,
+            precision=config.precision,
+        )
+    return e[:, 0]
 
 
 def neighbor_distances_rbf(params, config: SchNetConfig, pos, nbr):
@@ -347,13 +379,7 @@ def _schnet_atom_energies(
                 jnp.dot(jnp.tanh(y), bp["lin_w"], precision=prec)
                 + bp["lin_b"]
             )
-        e = mlp_apply(
-            params["output"],
-            x,
-            activation=config.activation,
-            precision=config.precision,
-        )
-        return e[:, 0]
+        return output_energies(params, config, x, atom_types)
 
     if config.message_passing == "dense":
         # Dense all-pairs Pallas kernel: no neighbor list at all (exact at
@@ -380,13 +406,7 @@ def _schnet_atom_energies(
                 jnp.dot(jnp.tanh(y), bp["lin_w"], precision=prec)
                 + bp["lin_b"]
             )
-        e = mlp_apply(
-            params["output"],
-            x,
-            activation=config.activation,
-            precision=config.precision,
-        )
-        return e[:, 0]
+        return output_energies(params, config, x, atom_types)
 
     if config.message_passing == "pallas":
         from ..ops.pallas.cfconv import fused_cfconv_message
@@ -414,13 +434,7 @@ def _schnet_atom_energies(
                 jnp.dot(jnp.tanh(y), bp["lin_w"], precision=prec)
                 + bp["lin_b"]
             )
-        e = mlp_apply(
-            params["output"],
-            x,
-            activation=config.activation,
-            precision=config.precision,
-        )
-        return e[:, 0]
+        return output_energies(params, config, x, atom_types)
 
     if config.remat == "block":
         def one_block(block_params, rbf_params, x, pos):
@@ -440,13 +454,7 @@ def _schnet_atom_energies(
             x = x + interaction_block_apply(
                 block_params, config, x, d, rbf, nbr
             )
-    e = mlp_apply(
-        params["output"],
-        x,
-        activation=config.activation,
-        precision=config.precision,
-    )  # [A, 1]
-    return e[:, 0]
+    return output_energies(params, config, x, atom_types)
 
 
 def schnet_energy(

@@ -347,8 +347,31 @@ class Simulation:
         beta: Union[float, List[float]],
     ):
         self._attach_model(model)
+        self._check_exclusion_binding(model, configurations)
         self._attach_configurations(configurations, beta=beta)
         self._dump_specialized_model(configurations)
+
+    def _check_exclusion_binding(self, model, configurations):
+        """A structure carrying ``exc_pair_index`` must be bound to a model
+        that honors it (build_forcefield does the binding); silently
+        running the SchNet graph WITH the excluded pairs would change the
+        physics (the reference refuses too, schnet.py:221-227)."""
+        has_exc = any(
+            getattr(c, "exc_pair_index", None) is not None
+            for c in configurations
+        )
+        if (
+            has_exc
+            and getattr(model, "schnet_params", None) is not None
+            and getattr(model, "exc_pair_index", None) is None
+        ):
+            raise ValueError(
+                "Configurations carry exc_pair_index but the model was "
+                "built without pair exclusions; rebuild it with "
+                "build_forcefield(ref_model, configuration) (which binds "
+                "the structure's exclusions) or set "
+                "ForceField.exc_pair_index explicitly."
+            )
 
     def _dump_specialized_model(self, configurations: List[Configuration]):
         """Dump the fully attached model (gptq/capacity overrides applied,

@@ -49,8 +49,13 @@ def _simulation_kwargs(simulation_class) -> Dict[str, inspect.Parameter]:
     return params
 
 
-def _coerce(value: str, default: Any):
-    """Best-effort string -> python coercion for CLI overrides."""
+def _coerce(value: str, default: Any, name: str = "option"):
+    """String -> python coercion for ``--simulation.<name>`` overrides.
+
+    A value that looks numeric but fails to parse (e.g. ``--simulation.dt
+    0.00x4``) is an ERROR when the option's default is numeric — passing
+    the raw string through would surface later as an opaque jit/trace
+    failure (or worse, a silently-string-typed knob)."""
     if isinstance(value, str):
         low = value.lower()
         if low in ("none", "null"):
@@ -64,6 +69,11 @@ def _coerce(value: str, default: Any):
                 return cast(value)
             except (TypeError, ValueError):
                 continue
+        if isinstance(default, (int, float)):
+            raise ValueError(
+                f"--simulation.{name}={value!r} is not a valid number "
+                f"(the option's default is {default!r})."
+            )
     return value
 
 
@@ -123,6 +133,14 @@ def build_parser(
         help="Run the un-optimized baseline path (fp32 MLPs, plain XLA "
         "message passing, no Pallas kernels) for A/B comparison.",
     )
+    parser.add_argument(
+        "--allow_unconvertible",
+        action="store_true",
+        help="Skip (with a warning) checkpoint entries that cannot be "
+        "converted and priors whose neighbor lists are missing from the "
+        "structure file, instead of erroring. Skipping changes the "
+        "simulated physics — only use when you know what you are dropping.",
+    )
     # expose every Simulation.__init__ kwarg as --simulation.<name>
     for name, p in _simulation_kwargs(simulation_class).items():
         parser.add_argument(
@@ -161,7 +179,7 @@ def apply_batch_size(
     return initial_data_list
 
 
-def load_model_file(path: str):
+def load_model_file(path: str, allow_unconvertible: bool = False):
     """Load a force field + configurations source model.
 
     ``.pt`` files are treated as reference ``model_and_prior.pt`` pickles and
@@ -171,7 +189,9 @@ def load_model_file(path: str):
     from ..models import checkpoint_io
 
     if path.endswith(".pt"):
-        return checkpoint_io.load_reference_checkpoint(path)
+        return checkpoint_io.load_reference_checkpoint(
+            path, allow_unconvertible=allow_unconvertible
+        )
     return checkpoint_io.load_native_model(path)
 
 
@@ -260,7 +280,7 @@ def parse_simulation_config(
             default = (
                 p.default if p.default is not inspect.Parameter.empty else None
             )
-            config["simulation"][name] = _coerce(cli_val, default)
+            config["simulation"][name] = _coerce(cli_val, default, name)
 
     for key in ("betas", "model_file", "structure_file", "batch_size"):
         val = getattr(ns, key)
@@ -295,7 +315,10 @@ def parse_simulation_config(
             os.path.join(output_dir, f"{out_name}_config.yaml"), exported
         )
 
-    model = load_model_file(str(config["model_file"]))
+    model = load_model_file(
+        str(config["model_file"]),
+        allow_unconvertible=ns.allow_unconvertible,
+    )
     # raw list kept for derivations that only need the UNIQUE structures
     # (apply_batch_size deepcopy-expands to the batch).
     raw_data_list = load_structure_file(str(config["structure_file"]))
@@ -320,7 +343,10 @@ def parse_simulation_config(
                 "the reference checkpoint to a molecule."
             )
         model = build_forcefield(
-            model, initial_data_list[0], optimize=not ns.disable_optim
+            model,
+            initial_data_list[0],
+            optimize=not ns.disable_optim,
+            allow_missing_priors=ns.allow_unconvertible,
         )
 
     # Reference env-flag compatibility (schnet.py:52-56): any MLCG_USE_*

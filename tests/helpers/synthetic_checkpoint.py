@@ -155,11 +155,58 @@ def make_fake_reference_modules():
             self.register_buffer("k2s", k2s)
             self.register_buffer("v_0", v_0)
 
+    class TypesMLP(nn.Module):
+        """Reference TypesMLP layout (flashmd/models/mlp.py:60-121):
+        ``mlp`` is a ModuleList (one MLP per entry of the ``species``
+        buffer) or a single shared MLP."""
+
+        name = "TypesMLP"
+
+        def __init__(self, widths, species=None, last_bias=True):
+            super().__init__()
+            if species is not None:
+                species = torch.unique(torch.as_tensor(species))
+                self.register_buffer("species", species)
+                self.mlp = nn.ModuleList(
+                    [MLP(widths, last_bias=last_bias) for _ in species]
+                )
+            else:
+                self.species = None
+                self.mlp = MLP(widths, last_bias=last_bias)
+
+        def forward(self, x, types):
+            if self.species is None:
+                return self.mlp(x)
+            y = torch.zeros(x.shape[0], 1, dtype=x.dtype)
+            for s, mlp in zip(self.species, self.mlp):
+                mask = types == s
+                y[mask] = mlp(x[mask])
+            return y
+
     class GradientsOut(nn.Module):
         def __init__(self, model):
             super().__init__()
             self.model = model
             self.name = getattr(model, "name", "model")
+
+    class EnergyOut(nn.Module):
+        """Reference EnergyOut (gradients.py:161-191): same .model slot."""
+
+        def __init__(self, model):
+            super().__init__()
+            self.model = model
+            self.targets = ["energy"]
+            self.name = getattr(model, "name", "model")
+
+    class MysteryPrior(nn.Module):
+        """A prior class the converter does not know — must hard-error."""
+
+        name = "mystery"
+
+        def __init__(self):
+            super().__init__()
+            self.order = 2
+            self.register_buffer("weird", torch.rand(2, 2))
 
     class SumOut(nn.Module):
         name = "SumOut"
@@ -183,16 +230,23 @@ def make_fake_reference_modules():
     _register(HarmonicBonds, "flashmd.prior.harmonic")
     _register(Repulsion, "flashmd.prior.repulsion")
     _register(Dihedral, "flashmd.prior.fourier_series")
+    _register(TypesMLP, "flashmd.models.mlp")
     _register(GradientsOut, "flashmd.models.gradients")
+    _register(EnergyOut, "flashmd.models.gradients")
+    _register(MysteryPrior, "flashmd.prior.harmonic")
     _register(SumOut, "flashmd.models.gradients")
     _register(AtomicData, "flashmd.data.atomic_data")
 
     return dict(
         SchNet=SchNet,
+        MLP=MLP,
+        TypesMLP=TypesMLP,
         HarmonicBonds=HarmonicBonds,
         Repulsion=Repulsion,
         Dihedral=Dihedral,
         GradientsOut=GradientsOut,
+        EnergyOut=EnergyOut,
+        MysteryPrior=MysteryPrior,
         SumOut=SumOut,
         AtomicData=AtomicData,
     )
@@ -204,14 +258,23 @@ def unregister_fake_modules():
             del sys.modules[m]
 
 
-def torch_schnet_energy(schnet, pos_t, types_t):
-    """Independent torch edge-list evaluation of the fake SchNet."""
+def torch_schnet_energy(schnet, pos_t, types_t, exc_pairs=None):
+    """Independent torch edge-list evaluation of the fake SchNet.
+
+    ``exc_pairs`` ([2, P]) drops the given undirected pairs from the
+    radius graph (the reference exc_pair_index contract,
+    schnet.py:221-242)."""
     n = pos_t.shape[0]
+    excluded = set()
+    if exc_pairs is not None:
+        for a, b in zip(exc_pairs[0], exc_pairs[1]):
+            excluded.add((int(a), int(b)))
+            excluded.add((int(b), int(a)))
     d_full = torch.cdist(pos_t, pos_t)
     src, dst = [], []
     for i in range(n):
         for j in range(n):
-            if i != j and d_full[i, j] < RCUT:
+            if i != j and d_full[i, j] < RCUT and (i, j) not in excluded:
                 src.append(j)
                 dst.append(i)
     src = torch.tensor(src)
@@ -229,17 +292,39 @@ def torch_schnet_energy(schnet, pos_t, types_t):
         agg.index_add_(0, dst, msg)
         y = block.conv.lin2(agg)
         x = x + block.lin(torch.tanh(y))
-    e = schnet.output_network(x)
+    out_net = schnet.output_network
+    if type(out_net).__name__ == "TypesMLP":
+        e = out_net(x, types_t)
+    else:
+        e = out_net(x)
     return float(e.sum())
 
 
-def build_synthetic_checkpoint(tmp):
+def build_synthetic_checkpoint(
+    tmp,
+    entry_wrapper: str = "gradients",
+    output_network: str = "mlp",
+    exc_pairs=None,
+    extra_entries=None,
+):
     """Write model_and_prior.pt + configurations.pt under ``tmp``.
 
     Returns a dict with file paths, the raw pos/types arrays, and
     double-precision ground-truth energies for the SchNet / bonds /
     repulsion components (computed by independent torch/numpy code, not by
     anything in flashmd_tpu).
+
+    Variants exercising the full reference checkpoint surface:
+
+    * ``entry_wrapper``: "gradients" (GradientsOut, the usual contract) or
+      "energy" (EnergyOut-wrapped entries, gradients.py:161-191).
+    * ``output_network``: "mlp" | "types_mlp_shared" | "types_mlp_species"
+      (reference TypesMLP, mlp.py:60-121).
+    * ``exc_pairs``: optional [2, P] pairs stored as the structure's
+      ``exc_pair_index`` AND honored by the ground-truth energies.
+    * ``extra_entries``: dict of {name: fake-class-name} appended to the
+      SumOut (e.g. {"mystery": "MysteryPrior"} for an unconvertible
+      entry).
     """
     torch.manual_seed(0)
     classes = make_fake_reference_modules()
@@ -249,6 +334,14 @@ def build_synthetic_checkpoint(tmp):
     pos = rng.uniform(0, 3.0, size=(A, 3))
 
     schnet = classes["SchNet"]()
+    if output_network == "types_mlp_shared":
+        schnet.output_network = classes["TypesMLP"](
+            [HIDDEN, 8, 1], last_bias=False
+        )
+    elif output_network == "types_mlp_species":
+        schnet.output_network = classes["TypesMLP"](
+            [HIDDEN, 8, 1], species=torch.tensor(types), last_bias=False
+        )
     bonds_map = np.stack([np.arange(A - 1), np.arange(1, A)])
     x_0 = torch.rand(N_TYPES, N_TYPES) + 0.5
     k = torch.rand(N_TYPES, N_TYPES) * 3
@@ -263,22 +356,20 @@ def build_synthetic_checkpoint(tmp):
     k2s = torch.rand(n_degs, N_TYPES, N_TYPES, N_TYPES, N_TYPES)
     v_0 = torch.rand(N_TYPES, N_TYPES, N_TYPES, N_TYPES)
 
-    model = classes["GradientsOut"](
-        classes["SumOut"](
-            {
-                "SchNet": classes["GradientsOut"](schnet),
-                "bonds": classes["GradientsOut"](
-                    classes["HarmonicBonds"](x_0, k)
-                ),
-                "repulsion": classes["GradientsOut"](
-                    classes["Repulsion"](sigma)
-                ),
-                "dihedrals": classes["GradientsOut"](
-                    classes["Dihedral"](k1s, k2s, v_0)
-                ),
-            }
-        )
+    wrap = (
+        classes["EnergyOut"]
+        if entry_wrapper == "energy"
+        else classes["GradientsOut"]
     )
+    entries = {
+        "SchNet": wrap(schnet),
+        "bonds": wrap(classes["HarmonicBonds"](x_0, k)),
+        "repulsion": wrap(classes["Repulsion"](sigma)),
+        "dihedrals": wrap(classes["Dihedral"](k1s, k2s, v_0)),
+    }
+    for name, cls_name in (extra_entries or {}).items():
+        entries[name] = wrap(classes[cls_name]())
+    model = classes["GradientsOut"](classes["SumOut"](entries))
     model_path = tmp / "model_and_prior.pt"
     torch.save(model, model_path)
 
@@ -288,7 +379,9 @@ def build_synthetic_checkpoint(tmp):
     pos_t = torch.tensor(pos, dtype=torch.float64)
     types_t = torch.tensor(types)
     with torch.no_grad():
-        e_schnet = torch_schnet_energy(schnet.double(), pos_t, types_t)
+        e_schnet = torch_schnet_energy(
+            schnet.double(), pos_t, types_t, exc_pairs=exc_pairs
+        )
     # harmonic bonds
     ti, tj = types[bonds_map[0]], types[bonds_map[1]]
     dbond = np.linalg.norm(pos[bonds_map[1]] - pos[bonds_map[0]], axis=-1)
@@ -331,13 +424,18 @@ def build_synthetic_checkpoint(tmp):
             self_interaction=False,
         ),
     }
-    data0 = classes["AtomicData"](
+    data_fields = dict(
         pos=torch.tensor(pos, dtype=torch.float32),
         atom_types=torch.tensor(types),
         masses=torch.ones(A),
         neighbor_list=nls,
         tag="synthetic",
     )
+    if exc_pairs is not None:
+        data_fields["exc_pair_index"] = torch.tensor(
+            np.asarray(exc_pairs), dtype=torch.long
+        )
+    data0 = classes["AtomicData"](**data_fields)
     structures_path = tmp / "configurations.pt"
     torch.save([data0, data0], structures_path)
 

@@ -72,7 +72,7 @@ def test_fit_zero_beyond_cutoff(setup):
     bp = params["interactions"][0]
     c, c2, w0 = fit_chebyshev_filter(bp, params["rbf"], cfg, order=M)
     # place one atom far outside everyone's cutoff
-    pos_far = pos.at[0].set(jnp.asarray([1e3, 1e3, 1e3]))
+    pos_far = pos.at[0].set(jnp.asarray([1e3, 1e3, 1e3], pos.dtype))
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(A, 64)), jnp.float32
     )

@@ -135,3 +135,136 @@ def test_native_roundtrip(saved_checkpoint):
         ref.schnet_params["embedding"], ref2.schnet_params["embedding"]
     )
     assert ref2.schnet_config == ref.schnet_config
+
+
+# ----------------------------------------------------------------------
+# Round-3 coverage: EnergyOut wrappers, TypesMLP output networks, hard
+# errors on unconvertible/missing entries, exc_pair_index plumbing
+# (round-2 VERDICT Missing #2/#3).
+# ----------------------------------------------------------------------
+
+
+def _f64_oracle_ff(tmp, **build_kw):
+    info = build_synthetic_checkpoint(tmp, **build_kw)
+    ref = load_reference_checkpoint(info["model_path"])
+    configs = load_reference_configurations(info["structures_path"])
+    ff = build_forcefield(
+        ref, configs[0], dtype=jnp.float64, neighbor_capacity=A,
+        optimize=False,
+    )
+    return info, ref, configs, ff
+
+
+def _schnet_component(info, ff):
+    pos = jnp.asarray(info["pos"], dtype=jnp.float64)[None]
+    types = jnp.asarray(info["types"], dtype=jnp.int32)
+    _, _, comps = compute_energy_forces(ff, pos, types)
+    return float(comps["SchNet"][0]), comps
+
+
+def test_energy_out_entries_ingest(tmp_path):
+    """EnergyOut-wrapped checkpoint entries unwrap like GradientsOut and
+    convert with full fidelity (reference gradients.py:161-191)."""
+    info, ref, _, ff = _f64_oracle_ff(tmp_path, entry_wrapper="energy")
+    assert ref.schnet_params is not None
+    assert sorted(p.kind for p in ref.priors) == [
+        "dihedral", "harmonic_bonds", "repulsion",
+    ]
+    e_schnet, comps = _schnet_component(info, ff)
+    np.testing.assert_allclose(e_schnet, info["e_schnet"], rtol=1e-9)
+    np.testing.assert_allclose(
+        float(comps["bonds"][0]), info["e_bonds"], rtol=1e-9
+    )
+
+
+def test_types_mlp_species_output_network(tmp_path):
+    """A per-species TypesMLP output head converts to the species bank and
+    reproduces the reference evaluation (reference mlp.py:60-121)."""
+    info, ref, _, ff = _f64_oracle_ff(
+        tmp_path, output_network="types_mlp_species"
+    )
+    assert "mlps" in ref.schnet_params["output"]
+    assert len(ref.schnet_params["output"]["mlps"]) == len(
+        np.unique(info["types"])
+    )
+    e_schnet, _ = _schnet_component(info, ff)
+    np.testing.assert_allclose(e_schnet, info["e_schnet"], rtol=1e-9)
+
+
+def test_types_mlp_shared_output_network(tmp_path):
+    """A shared-weights TypesMLP collapses to a plain MLP head."""
+    info, ref, _, ff = _f64_oracle_ff(
+        tmp_path, output_network="types_mlp_shared"
+    )
+    assert "layers" in ref.schnet_params["output"]
+    e_schnet, _ = _schnet_component(info, ff)
+    np.testing.assert_allclose(e_schnet, info["e_schnet"], rtol=1e-9)
+
+
+def test_unconvertible_entry_is_hard_error(tmp_path):
+    info = build_synthetic_checkpoint(
+        tmp_path, extra_entries={"mystery": "MysteryPrior"}
+    )
+    with pytest.raises(ValueError, match="mystery.*not convertible"):
+        load_reference_checkpoint(info["model_path"])
+    # explicit opt-in downgrades to warn + skip
+    ref = load_reference_checkpoint(
+        info["model_path"], allow_unconvertible=True
+    )
+    assert sorted(p.kind for p in ref.priors) == [
+        "dihedral", "harmonic_bonds", "repulsion",
+    ]
+
+
+def test_missing_prior_neighbor_list_is_hard_error(tmp_path):
+    info = build_synthetic_checkpoint(tmp_path)
+    ref = load_reference_checkpoint(info["model_path"])
+    configs = load_reference_configurations(info["structures_path"])
+    cfg = configs[0]
+    del cfg.neighbor_lists["dihedrals"]
+    with pytest.raises(ValueError, match="dihedrals.*no matching"):
+        build_forcefield(ref, cfg, neighbor_capacity=A)
+    ff = build_forcefield(
+        ref, cfg, neighbor_capacity=A, allow_missing_priors=True
+    )
+    assert "dihedrals" not in ff.priors
+
+
+def test_exc_pair_index_end_to_end(tmp_path):
+    """exc_pair_index flows loader -> Configuration -> ForceField ->
+    neighbor search; the converted model reproduces the exclusion-aware
+    reference evaluation and differs from the no-exclusion one."""
+    exc = np.array([[0, 1, 2], [3, 4, 5]])
+    info, ref, configs, ff = _f64_oracle_ff(tmp_path, exc_pairs=exc)
+    np.testing.assert_array_equal(configs[0].exc_pair_index, exc)
+    np.testing.assert_array_equal(np.asarray(ff.exc_pair_index), exc)
+
+    e_schnet, _ = _schnet_component(info, ff)
+    np.testing.assert_allclose(e_schnet, info["e_schnet"], rtol=1e-9)
+
+    # identical weights without exclusions give a DIFFERENT energy
+    ff_plain = ff.replace(exc_pair_index=None)
+    e_plain, _ = _schnet_component(info, ff_plain)
+    assert abs(e_plain - e_schnet) > 1e-8
+
+
+def test_exc_pair_index_forces_gather_path(tmp_path):
+    """optimize=True must NOT select the all-pairs cheb path when the
+    structure carries exclusions — cheb cannot drop pairs."""
+    exc = np.array([[0], [3]])
+    info = build_synthetic_checkpoint(tmp_path, exc_pairs=exc)
+    ref = load_reference_checkpoint(info["model_path"])
+    configs = load_reference_configurations(info["structures_path"])
+    ff = build_forcefield(ref, configs[0], neighbor_capacity=A)
+    assert ff.schnet_config.message_passing == "xla"
+    assert ff.exc_pair_index is not None
+    # and the cheb path refuses exclusions outright
+    import dataclasses as _dc
+
+    ff_cheb = ff.replace(
+        schnet_config=_dc.replace(ff.schnet_config, message_passing="cheb")
+    )
+    pos = jnp.asarray(info["pos"], dtype=jnp.float32)[None]
+    types = jnp.asarray(info["types"], dtype=jnp.int32)
+    with pytest.raises(NotImplementedError, match="exc_pair_index"):
+        compute_energy_forces(ff_cheb, pos, types)
