@@ -223,51 +223,71 @@ def cgschnet_1enh_like(
         # (2026-08-18, v5e) reads (64, 96) = 1.90e-3 vs (48, 64) =
         # 5.67e-3 — the bf16 default would silently waste the split's
         # extra passes, so the tier gets its own (64, 96) default.
+        # An explicit order — EITHER of the two — opts out of ALL the
+        # coupled measured defaults (asymmetric counterpart AND the
+        # restricted fit domain below): mixing a hand-picked order with
+        # an implicit d_min or an implicit partner order would silently
+        # change which fit the explicit order was validated on. With one
+        # order explicit, the other defaults to the full-domain-safe 64
+        # (bf16 tiers) / 128 (fp32).
         cheb_order=cheb_order
         or (
-            64
+            (64 if cheb_order_deriv is None else 96)
             if precision == "bf16x3"
             else (
-                (48 if n_atoms <= 266 else 64)
+                (
+                    (48 if n_atoms <= 266 else 64)
+                    if cheb_order_deriv is None
+                    else 64
+                )
                 if precision.startswith("bf16")
                 else 128
             )
         ),
         # An explicit symmetric cheb_order stays symmetric (deriv=None
-        # follows cheb_order); only the bf16-tier defaults are asymmetric.
+        # follows cheb_order); only the all-defaults bf16 tiers are
+        # asymmetric.
         cheb_order_deriv=cheb_order_deriv
         or (
             (96 if precision == "bf16x3" else 64)
             if cheb_order is None and precision.startswith("bf16")
             else None
         ),
-        # An explicit cheb_order also opts out of the restricted-domain
-        # default — mixing a hand-picked order with an implicit d_min
-        # would silently change which fit the order was validated on.
         cheb_d_min=(
             cheb_d_min
             if cheb_d_min is not None
             else (
                 2.0
-                if cheb_order is None and precision.startswith("bf16")
+                if (
+                    cheb_order is None
+                    and cheb_order_deriv is None
+                    and precision.startswith("bf16")
+                )
                 else 0.0
             )
         ),
     )
+    # Size-coupling warning past the measured fidelity frontier. The bf16
+    # grid was measured up to A = 532; the bf16x3 grid only at A = 266 —
+    # and bf16x3 users specifically want near-fp32 fidelity, so they get
+    # the warning at the size their tier was actually validated at.
+    frontier = 266 if precision == "bf16x3" else 532
     if (
         cheb_order is None
+        and cheb_order_deriv is None
         and precision.startswith("bf16")
-        and n_atoms > 532
+        and n_atoms > frontier
     ):
         import warnings
 
         warnings.warn(
             f"n_atoms={n_atoms} is past the measured fidelity frontier "
-            "(A=532): the 16-bit accumulation error of the Chebyshev "
-            "path grows with the molecule size and the default orders "
-            "were validated only up to 532 beads. Measure the force "
-            "error vs precision='fp32' (benchmarks/fidelity_asym.py) "
-            "or pass explicit cheb_order/cheb_order_deriv.",
+            f"(A={frontier} for precision={precision!r}): the 16-bit "
+            "accumulation error of the Chebyshev path grows with the "
+            "molecule size and the default orders were validated only up "
+            f"to {frontier} beads. Measure the force error vs "
+            "precision='fp32' (benchmarks/fidelity_asym.py) or pass "
+            "explicit cheb_order/cheb_order_deriv.",
             stacklevel=2,
         )
     params = init_schnet(jax.random.PRNGKey(seed), config)

@@ -76,6 +76,16 @@ def _enable_compilation_cache():
     if target.strip().lower() in ("0", "off", "false", "none"):
         return
     if not target:
+        # Respect a cache the user configured through JAX's own knobs —
+        # overriding their directory (or thresholds) here would silently
+        # split/clobber their cache.
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return
+        try:
+            if jax.config.jax_compilation_cache_dir:
+                return
+        except AttributeError:  # pragma: no cover - jax version dependent
+            pass
         target = os.path.join(
             os.path.expanduser("~"), ".cache", "flashmd_tpu", "xla"
         )

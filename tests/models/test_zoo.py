@@ -7,6 +7,8 @@ out of the coupled defaults so a hand-picked order never silently runs
 on a different fit domain than it was validated on.
 """
 
+import pytest
+
 from flashmd_tpu.models.zoo import cgschnet_1enh_like
 
 _SMALL = dict(n_atoms=8, batch_size=1, num_interactions=1)
@@ -92,3 +94,47 @@ def test_explicit_d_min_and_deriv_are_honored():
     assert cfg.cheb_order == 64
     assert cfg.cheb_order_deriv == 96
     assert cfg.cheb_d_min == 1.5
+
+
+def test_explicit_deriv_order_also_opts_out_of_restricted_domain():
+    """ADVICE r2: EITHER explicit order opts out of the coupled defaults —
+    a hand-picked derivative order must not silently run on the implicit
+    d_min=2.0 fit domain it was never validated on."""
+    ff, _ = cgschnet_1enh_like(
+        precision="bf16", cheb_order_deriv=96, **_SMALL
+    )
+    cfg = ff.schnet_config
+    assert cfg.cheb_d_min == 0.0
+    assert cfg.cheb_order == 64  # full-domain-validated forward default
+    assert cfg.cheb_order_deriv == 96
+
+    ff3, _ = cgschnet_1enh_like(
+        precision="bf16x3", cheb_order_deriv=96, **_SMALL
+    )
+    cfg3 = ff3.schnet_config
+    assert cfg3.cheb_d_min == 0.0
+    assert cfg3.cheb_order == 96  # the tier's full-domain point
+
+
+def test_bf16x3_warns_past_its_own_measured_frontier():
+    """ADVICE r2: the bf16x3 grid was measured only at A=266, and its
+    users specifically want near-fp32 fidelity — warn at 266, not 532."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cgschnet_1enh_like(
+            precision="bf16x3", n_atoms=266, batch_size=1,
+            num_interactions=1,
+        )  # at the frontier: no warning
+    with pytest.warns(UserWarning, match="A=266"):
+        cgschnet_1enh_like(
+            precision="bf16x3", n_atoms=300, batch_size=1,
+            num_interactions=1,
+        )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        cgschnet_1enh_like(
+            precision="bf16", n_atoms=300, batch_size=1,
+            num_interactions=1,
+        )  # bf16's frontier stays 532

@@ -173,6 +173,19 @@ def test_compilation_cache_env_control(monkeypatch, tmp_path):
         monkeypatch.setenv("FLASHMD_TPU_COMPILATION_CACHE", "off")
         _enable_compilation_cache()
         assert jax.config.jax_compilation_cache_dir == prev
+
+        # ADVICE r2: a cache configured through JAX's own knobs must not
+        # be clobbered by our default.
+        monkeypatch.delenv("FLASHMD_TPU_COMPILATION_CACHE")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/user_cache")
+        _enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == prev  # untouched
+
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        user_dir = str(tmp_path / "user_jax_cache")
+        jax.config.update("jax_compilation_cache_dir", user_dir)
+        _enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == user_dir
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
 

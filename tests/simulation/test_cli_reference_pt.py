@@ -69,9 +69,9 @@ def test_pt_checkpoint_parses_to_optimized_forcefield(pt_files):
 
 def test_pt_checkpoint_disable_optim(pt_files, monkeypatch):
     tmp, cfg_path = pt_files
-    # parse_simulation_config with --disable_optim exports
-    # FLASHMD_TPU_MESSAGE_PASSING=xla for downstream consumers; keep that
-    # from leaking into other tests.
+    # --disable_optim deliberately does NOT mutate the process env
+    # (cli.py applies the opt-out in-process); clear any ambient
+    # FLASHMD_TPU_MESSAGE_PASSING so it cannot mask the flag's effect.
     monkeypatch.delenv("FLASHMD_TPU_MESSAGE_PASSING", raising=False)
     model, _, _, sim, _ = parse_simulation_config(
         LangevinSimulation,
