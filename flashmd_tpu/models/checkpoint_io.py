@@ -662,13 +662,21 @@ def build_forcefield(
     neighbor_capacity: Optional[int] = None,
     optimize: bool = True,
     allow_missing_priors: bool = False,
+    tune_configurations: Optional[List[Configuration]] = None,
 ) -> ForceField:
     """Bind a converted checkpoint to a molecule -> runnable ForceField.
 
     ``optimize=True`` (the default, matching the reference's
     optimizations-on-by-default) selects the fast message-passing path via
-    :func:`optimized_schnet_config`; ``optimize=False`` keeps the exact
+    :func:`optimized_schnet_config`, then — when the result is the cheb
+    path — MEASURES the fidelity frontier on the starting structures and
+    picks the cheapest (orders, fit domain) within 1.2x the bf16 floor
+    (models/frontier.py; FLASHMD_TPU_AUTOFRONTIER=0 keeps the
+    conservative full-domain default). ``optimize=False`` keeps the exact
     fp32/xla parity path.
+
+    ``tune_configurations`` are the structures the frontier measurement
+    runs on (default: just ``configuration``).
 
     A prior whose neighbor list is missing from the structure is a HARD
     ERROR by default (dropping it would silently change the physics);
@@ -683,6 +691,18 @@ def build_forcefield(
         schnet_config = optimized_schnet_config(
             schnet_config, has_exclusions=exc is not None
         )
+        if (
+            schnet_config.message_passing == "cheb"
+            and schnet_params is not None
+        ):
+            from .frontier import autofrontier_enabled, select_cheb_frontier
+
+            if autofrontier_enabled():
+                schnet_config = select_cheb_frontier(
+                    schnet_params,
+                    schnet_config,
+                    tune_configurations or [configuration],
+                )
 
     priors = {}
     for rp in ref_model.priors:

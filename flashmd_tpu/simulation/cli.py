@@ -347,6 +347,9 @@ def parse_simulation_config(
             initial_data_list[0],
             optimize=not ns.disable_optim,
             allow_missing_priors=ns.allow_unconvertible,
+            # frontier measurement sees the UNIQUE structures, not the
+            # batch_size-duplicated list
+            tune_configurations=raw_data_list,
         )
 
     # Reference env-flag compatibility (schnet.py:52-56): any MLCG_USE_*
