@@ -50,6 +50,25 @@ def _interpret() -> bool:
 
 N_CHAINS = 4
 
+# Backward-kernel chain stride: 8 independent recurrence chains measured
+# -19% on the gd-only kernel (23.8 -> 19.2 us/mol at the headline shape,
+# single tile) and -6% on the gx kernel at A=532 — the backward's
+# per-group epilogue (rhs build, h*um, slice reduction) has longer VPU
+# dependency chains than the forward's, so it profits from the extra ILP
+# where the forward measured SLOWER at n=8 (13.8 vs 13.3; see
+# benchmarks/kernel_nchains.py, 2026-08-19, v5e). Used only when both
+# orders are divisible by it (see _bwd_n_chains; n=4 otherwise).
+N_CHAINS_BWD = 8
+
+
+def _bwd_n_chains(order_gx: int, order_gd: int, need_gx: bool) -> int:
+    """Largest supported chain stride dividing the live orders."""
+    orders = [order_gd] + ([order_gx] if need_gx else [])
+    for n in (N_CHAINS_BWD, N_CHAINS):
+        if all(o % n == 0 and o >= 2 * n for o in orders):
+            return n
+    return N_CHAINS
+
 # Backward-kernel unroll width cap: chain groups unrolled per fori_loop
 # iteration. 8 is the largest that fits the 16 MB scoped-VMEM stack at
 # full tile size (benchmarks/kernel_bwd_unroll.py: 10 OOMs).
@@ -105,7 +124,7 @@ def _bwd_chunk_width(remaining: int) -> int:
     )
 
 
-def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs):
+def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs, n):
     """Chunk-unrolled recurrence segment over chain groups
     [g_start, g_end) of the backward order loop.
 
@@ -128,11 +147,11 @@ def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs):
         hp, hc = carry[0], carry[1]
         accs = tuple(carry[2:])
         for k in range(gp // 2):
-            m = (g_start + gp * i + 2 * k) * N_CHAINS
+            m = (g_start + gp * i + 2 * k) * n
             h1 = qs * hc - hp
             accs = step(h1, m, accs)
             h2 = qs * h1 - hc
-            accs = step(h2, m + N_CHAINS, accs)
+            accs = step(h2, m + n, accs)
             hp, hc = h1, h2
         return (hp, hc, *accs)
 
@@ -142,7 +161,7 @@ def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs):
         accs = tuple(out[2:])
     for g in range(g_start + n_iter * gp, g_end):
         h_next = qs * hc - hp
-        accs = step(h_next, g * N_CHAINS, accs)
+        accs = step(h_next, g * n, accs)
         hp, hc = hc, h_next
     return hp, hc, accs
 
@@ -416,15 +435,15 @@ def _cheb_fwd_kernel(
 
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, *rest,
-    order_gx, order_gd, rcut, a_pad, a_real, ta, precision, need_gx=True,
-    has_cell=False, d_min=0.0, has_lin=False,
+    order_gx, order_gd, rcut, a_pad, a_real, ta, precision, n_chains,
+    need_gx=True, has_cell=False, d_min=0.0, has_lin=False,
 ):
     rest = list(rest)
     cell_ref = rest.pop(0) if has_cell else None
     inv_ref = rest.pop(0) if has_cell else None
     wlin_ref = rest.pop(0) if has_lin else None
     gpos_ref, gx_ref = rest
-    n = N_CHAINS
+    n = n_chains
     assert order_gd % n == 0 and order_gd >= 2 * n
     if need_gx:
         assert order_gx % n == 0 and order_gx >= 2 * n
@@ -515,15 +534,16 @@ def _cheb_bwd_kernel(
             return (accs[0] + chain_gx(h, m),)
 
         hs_prev, hs_cur, (gx_acc, gd) = _run_bwd_groups(
-            2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both, qs
+            2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both, qs, n
         )
         if groups_gx > shared:
             hs_prev, hs_cur, (gx_acc,) = _run_bwd_groups(
-                shared, groups_gx, hs_prev, hs_cur, (gx_acc,), step_gx, qs
+                shared, groups_gx, hs_prev, hs_cur, (gx_acc,), step_gx,
+                qs, n,
             )
         elif groups_gd > shared:
             hs_prev, hs_cur, (gd,) = _run_bwd_groups(
-                shared, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs
+                shared, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs, n
             )
 
         if has_lin:
@@ -546,7 +566,7 @@ def _cheb_bwd_kernel(
         # First interaction block: the conv input is the pos-independent
         # embedding, so the gx cotangent path is dead — only gd runs.
         hs_prev, hs_cur, (gd,) = _run_bwd_groups(
-            2, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs
+            2, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs, n
         )
 
     # ---- distance gradient -> position gradient, row and column sides
@@ -687,26 +707,42 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     ``need_gx=False`` specializes the kernel to the distance-gradient-only
     variant (gx returned as zeros) — the gx contraction never runs.
     ``cell`` switches to minimum-image geometry (matching the forward).
+
+    The chain stride is N_CHAINS_BWD (8) when every live order allows it,
+    else N_CHAINS (4) — the backward's VPU-heavy per-group epilogue
+    profits from the wider ILP (measured -19% on gd-only, -6% on gx at
+    A=532; the forward measured SLOWER at n=8 and keeps 4).
     """
     a = pos.shape[0]
     f = x.shape[-1]
     order_gx = c.shape[0]
     order_gd = c2.shape[0]
+    n_chains = _bwd_n_chains(order_gx, order_gd, need_gx)
     a_pad = _round_up(a, 8)
     if tile_budget is None:
         # Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q,
         # two chain carries) + two temporaries — vs the forward's 3.
-        # 74k (= the validated 272x272 single-tile size at A=266) is the
-        # largest TA*A_pad at which the 8-group unrolled body fits the
-        # 16 MB scoped-VMEM stack: 101.5k tiles (A=532 at the old 100k
-        # budget) overflow by 3.7 MB. The min-image branch recomputes
-        # rel0/rel1/rel2 + three W⊙rel products after the order loop,
-        # which costs extra stack (74k overflows by 108 KB at order 96)
-        # — shave the budget accordingly.
-        if cell is not None:
-            tile_budget = 64_000 if need_gx else 104_000
+        # At n=4: 74k (= the validated 272x272 single-tile size at
+        # A=266) is the largest TA*A_pad at which the 8-group unrolled
+        # body fits the 16 MB scoped-VMEM stack: 101.5k tiles (A=532 at
+        # the old 100k budget) overflow by 3.7 MB. The min-image branch
+        # recomputes rel0/rel1/rel2 + three W⊙rel products after the
+        # order loop, which costs extra stack (74k overflows by 108 KB
+        # at order 96) — shave the budget accordingly.
+        # At n=8 the stacked buffers are 2x per TA row: gx halves to
+        # 37k; the gd-only kernel (no us buffer live across the loop,
+        # no gx temporaries) fits 75k — both measured fastest AND
+        # compiling at A=266/532 (benchmarks/kernel_nchains.py).
+        if n_chains == 8:
+            if cell is not None:
+                tile_budget = 32_000 if need_gx else 52_000
+            else:
+                tile_budget = 37_000 if need_gx else 75_000
         else:
-            tile_budget = 74_000 if need_gx else 120_000
+            if cell is not None:
+                tile_budget = 64_000 if need_gx else 104_000
+            else:
+                tile_budget = 74_000 if need_gx else 120_000
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
@@ -716,7 +752,8 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     kernel = functools.partial(
         _cheb_bwd_kernel, order_gx=order_gx, order_gd=order_gd,
         rcut=float(rcut), a_pad=a_pad,
-        a_real=a, ta=ta, precision=precision, need_gx=need_gx,
+        a_real=a, ta=ta, precision=precision, n_chains=n_chains,
+        need_gx=need_gx,
         has_cell=cell is not None, d_min=float(d_min), has_lin=has_lin,
     )
     in_specs = [
