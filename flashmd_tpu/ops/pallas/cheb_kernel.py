@@ -61,11 +61,15 @@ N_CHAINS = 4
 N_CHAINS_BWD = 8
 
 
-def _bwd_n_chains(order_gx: int, order_gd: int, need_gx: bool) -> int:
-    """Largest supported chain stride dividing the live orders."""
-    orders = [order_gd] + ([order_gx] if need_gx else [])
+def _bwd_n_chains(order_gd: int) -> int:
+    """Largest supported chain stride dividing the gd series order.
+
+    Only the DERIVATIVE series constrains the stride: the gx series is
+    re-expressed on the That basis and zero-padded to a stride multiple
+    by the wrapper (_to_that_basis), so any user-chosen forward order
+    works at either stride."""
     for n in (N_CHAINS_BWD, N_CHAINS):
-        if all(o % n == 0 and o >= 2 * n for o in orders):
+        if order_gd % n == 0 and order_gd >= 2 * n:
             return n
     return N_CHAINS
 
@@ -309,6 +313,39 @@ def _chain_seeds(z, u2, n: int):
     return [u2 * t for t in tp], q
 
 
+def _to_that_basis(c, n: int):
+    """Re-express the gx series on the That = (1-z) T_m basis.
+
+    The forward coefficients c live on the Ttil = (1-z)^2 T_m basis:
+    sum_m c_m Ttil_m = (1-z)^2 P(z), P = sum_m c_m T_m. The backward's
+    recurrence chain carries That_m = (1-z) T_m (the gd series' basis),
+    so evaluating the gx contraction directly on the chain state needs
+    the Chebyshev coefficients of Q = (1-z) P: then sum_k q_k That_k =
+    (1-z) Q = (1-z)^2 P exactly. Using z T_m = (T_{m+1} + T_{|m-1|})/2:
+
+        q_0 = c_0 - c_1/2
+        q_1 = c_1 - c_0 - c_2/2
+        q_k = c_k - (c_{k-1} + c_{k+1})/2     (k >= 2)
+
+    Q has deg(P)+1 = M rows + 1; the result is zero-padded to a multiple
+    of ``n`` (zero rows contribute exactly zero). This removes the
+    per-group u ⊙ h multiply AND the stacked ``us`` buffer from the gx
+    path (measured win; see PERFORMANCE.md round 3).
+    """
+    m = c.shape[0]
+    rows = _round_up(m + 1, n)
+    cz = jnp.concatenate(
+        [c, jnp.zeros((rows + 1 - m, c.shape[1]), c.dtype)], axis=0
+    )  # c_k for k = 0..rows (zeros beyond m-1)
+    up = cz[1:rows + 1] * 0.5  # -c_{k+1}/2 for every k
+    down = jnp.concatenate(
+        [jnp.zeros((1, c.shape[1]), c.dtype), cz[0:1],
+         cz[1:rows - 1] * 0.5],
+        axis=0,
+    )  # 0, -c_0, then -c_{k-1}/2
+    return cz[:rows] - up - down
+
+
 def _split_bf16(a):
     hi = a.astype(jnp.bfloat16)
     lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -471,19 +508,21 @@ def _cheb_bwd_kernel(
     u = 1.0 - z  # [TA, A_pad]; exactly 0 beyond the cutoff and padding
     pp = _plain_seeds(z, n)
     q = 2.0 * _plain_t(z, n)
-    us = jnp.concatenate([u] * n, axis=0)  # [n*TA, A_pad]
     qs = jnp.concatenate([q] * n, axis=0)
-    hs_prev = us * jnp.concatenate(pp[0:n], axis=0)  # That_0..That_{n-1}
-    hs_cur = us * jnp.concatenate(pp[n:2 * n], axis=0)
+    hs_prev = jnp.concatenate([u * p for p in pp[0:n]], axis=0)
+    hs_cur = jnp.concatenate([u * p for p in pp[n:2 * n]], axis=0)
 
     def chain_gx(h_stacked, m):
-        # sum_c Ttil_c[R,:]^T @ (c ⊙ g[R]): one dot_general contracting
-        # the stacked row axis of both sides; Ttil = u ⊙ That.
+        # sum_k That_k[R,:]^T @ (q_k ⊙ g[R]): one dot_general contracting
+        # the stacked row axis of both sides. c_ref holds the gx series
+        # RE-EXPRESSED on the That basis (_to_that_basis), so the chain
+        # state feeds the contraction DIRECTLY — no per-group u ⊙ h
+        # multiply and no stacked us buffer (round-3 win; PERFORMANCE.md).
         rhs = jnp.concatenate(
             [c_ref[pl.ds(m + cch, 1), :] * g for cch in range(n)], axis=0
         )  # [n*TA, F]
         return _mxu_dot(
-            us * h_stacked, rhs, precision, dims=(((0,), (0,)), ((), ()))
+            h_stacked, rhs, precision, dims=(((0,), (0,)), ((), ()))
         )
 
     def chain_gd(h_stacked, m):
@@ -715,9 +754,19 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     """
     a = pos.shape[0]
     f = x.shape[-1]
-    order_gx = c.shape[0]
     order_gd = c2.shape[0]
-    n_chains = _bwd_n_chains(order_gx, order_gd, need_gx)
+    n_chains = _bwd_n_chains(order_gd)
+    if need_gx:
+        # gx series re-expressed on the chain's own That basis (exact;
+        # one extra row, zero-padded to the stride) — the kernel then
+        # contracts the chain state directly, with no u ⊙ h pass.
+        c = _to_that_basis(c, n_chains)
+        if c.shape[0] < 2 * n_chains:
+            c = jnp.concatenate(
+                [c, jnp.zeros((2 * n_chains - c.shape[0], f), c.dtype)],
+                axis=0,
+            )
+    order_gx = c.shape[0]
     a_pad = _round_up(a, 8)
     if tile_budget is None:
         # Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q,
