@@ -18,6 +18,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 
 
 def bench_sim(sim_cls, ff, configs, betas, n_steps, chunk, **kwargs):
@@ -42,11 +43,16 @@ def bench_sim(sim_cls, ff, configs, betas, n_steps, chunk, **kwargs):
     half = n_chunks // 2
     for _ in range(half):
         carry, _ = rollout(carry)
-    jax.block_until_ready(carry["pos"])
+    float(jnp.sum(carry["pos"]))
     t0 = time.perf_counter()
     for _ in range(n_chunks - half):
         carry, _ = rollout(carry)
-    jax.block_until_ready(carry["pos"])
+    # Scalar host fetch: through the axon tunnel block_until_ready can
+    # return before the computation completes, so the timed region must
+    # end with a value fetched from the final carry (same fence bench.py
+    # uses; the chunks are carry-dependent so nothing can be elided).
+    fence = float(jnp.sum(carry["pos"]))
+    assert fence == fence, "NaN positions at the end of the timed run"
     elapsed = time.perf_counter() - t0
     steps = (n_chunks - half) * chunk
     return steps * sim.n_sims / elapsed
