@@ -35,6 +35,12 @@ N_ATOMS = int(os.environ.get("N_ATOMS", "266"))
 # (M1, M2) grid at a non-bf16 tier shows where the FIT error floor sits
 # once MXU truncation is removed.
 FIT_PRECISION = os.environ.get("FIT_PRECISION", "bf16")
+# Coefficient fit method (proj | lawson). proj truncates ONE high-order
+# fit (valid: a truncated projection IS the lower-order projection);
+# lawson is NOT truncation-consistent, so each (M1, M2) point re-fits on
+# the host and zero-pads to FIT_ORDER (the kernel runs at FIT_ORDER
+# either way — this grid measures fidelity, not speed).
+FIT_METHOD = os.environ.get("FIT_METHOD", "proj")
 
 ff, configs = cgschnet_1enh_like(
     n_atoms=N_ATOMS, batch_size=4, precision="fp32", message_passing="xla"
@@ -105,6 +111,51 @@ def truncated(fits, m1, m2):
     return tuple(out)
 
 
+def _density_weight():
+    """sqrt of the empirical pair-distance density of this geometry
+    (with a floor so sparsely-populated distances are not abandoned) —
+    force error ACCUMULATES over pairs, so the right fit objective
+    weights per-distance error by how many pairs live there."""
+    rcut = float(ff.schnet_config.cutoff.cutoff_upper)
+    dd = np.sqrt(_d2[np.isfinite(_d2)])
+    dd = dd[dd < rcut]
+    hist, edges = np.histogram(dd, bins=64, range=(0.0, rcut))
+    centers = 0.5 * (edges[:-1] + edges[1:])
+    rho = hist.astype(np.float64)
+    rho = np.sqrt(rho + 0.05 * rho.max())
+
+    def ew(d):
+        return np.interp(d, centers, rho)
+
+    return ew
+
+
+def refit(m1, m2):
+    """Host re-fit (FIT_METHOD) at the TRUE orders, zero-padded to
+    FIT_ORDER. FIT_METHOD may carry a 'rho' suffix (e.g. wlsrho) to add
+    the empirical sqrt-pair-density importance weight."""
+    from flashmd_tpu.models.cheb import fit_chebyshev_filter_host
+
+    method = FIT_METHOD
+    ew = None
+    if method.endswith("rho"):
+        method = method[: -len("rho")]
+        ew = _density_weight()
+    cfgm = dataclasses.replace(cfg2, cheb_fit_method=method)
+    out = []
+    for bp in ff.schnet_params["interactions"]:
+        c, c2, w0 = fit_chebyshev_filter_host(
+            bp, ff.schnet_params["rbf"], cfgm, order=m1, order_deriv=m2,
+            extra_weight=ew,
+        )
+        cpad = jnp.zeros((FIT_ORDER, c.shape[1]), c.dtype).at[:m1].set(c)
+        c2pad = (
+            jnp.zeros((FIT_ORDER, c2.shape[1]), c2.dtype).at[:m2].set(c2)
+        )
+        out.append((cpad, c2pad, w0))
+    return tuple(out)
+
+
 grid = [
     int(x)
     for x in os.environ.get(
@@ -117,7 +168,14 @@ results = {}
 for m1 in grid:
     row = []
     for m2 in grid:
-        p_t = {**p_full, "cheb_fit": truncated(fits, m1, m2)}
+        p_t = {
+            **p_full,
+            "cheb_fit": (
+                truncated(fits, m1, m2)
+                if FIT_METHOD == "proj"
+                else refit(m1, m2)
+            ),
+        }
         f = np.asarray(forces(p_t, cfg2))
         err = np.abs(f - f_ref).max() / scale
         results[(m1, m2)] = err

@@ -160,6 +160,12 @@ def fit_chebyshev_filter(
     from .radial_basis import gaussian_basis_apply
 
     _require_cheb_eligible_cutoff(config.cutoff)
+    if getattr(config, "cheb_fit_method", "proj") != "proj":
+        raise NotImplementedError(
+            f"cheb_fit_method={config.cheb_fit_method!r} requires the "
+            "host-side fit (models/cheb.attach_cheb_fit, done at model "
+            "attach); the in-jit fallback implements only the projection."
+        )
     order_deriv = order if order_deriv is None else order_deriv
     rcut = float(config.cutoff.cutoff_upper)
     d_min = float(config.cheb_d_min)
@@ -260,8 +266,53 @@ def _cutoff_np(cut, d):
     raise NotImplementedError(f"host fit: unsupported cutoff {cut!r}")
 
 
+def _lawson_coeffs(target, tmk, weight, iters=30):
+    """Lawson iteratively-reweighted LS toward the weighted minimax.
+
+    Minimizes (approximately) ``max_k weight_k * |target_k - (T c)_k|``
+    per feature — with ``weight`` the basis factor ((1-z)^2 for the
+    forward series, (1-z) for the derivative series) this targets the
+    max error of the RECONSTRUCTED quantity W' / dW'/dd, which is what
+    feeds force fidelity. Measured ~2.2x lower max error than the
+    truncated projection at equal order (benchmarks/fit_minimax_probe.py).
+
+    target [N, F], tmk [M, N], weight [N] -> coefficients [M, F].
+
+    The caller must pass a weight with a strictly positive FLOOR (e.g.
+    u^2 + 0.05, not the raw basis factor): the raw weight vanishes at
+    z = 1, leaving the fit unconstrained there — the minimax solution
+    then carries 20-1000x larger oscillating coefficients whose bf16/
+    fp32 evaluation noise swamps the fit gain (measured: (64, 64)
+    floor-less lawson read 4.9e-2 max rel force error on TPU vs the
+    projection's 7e-3 at FEWER orders; with the 0.05 floor the
+    coefficient L1 norms match the projection's within ~10% while
+    keeping ~2.2x of the fit-error gain — fit_minimax_probe.py).
+    """
+    import numpy as np
+
+    T = tmk.T  # [N, M]
+    n, n_feat = target.shape
+    out = np.empty((tmk.shape[0], n_feat))
+    for f in range(n_feat):
+        lw = np.full(n, 1.0 / n)
+        t = target[:, f]
+        c = None
+        for _ in range(iters):
+            sw = np.sqrt(lw) * weight
+            c, *_ = np.linalg.lstsq(T * sw[:, None], t * sw, rcond=None)
+            r = np.abs((t - T @ c) * weight)
+            lw = lw * r
+            s = lw.sum()
+            if s <= 0:  # exact fit: any weighting is optimal
+                break
+            lw /= s
+        out[:, f] = c
+    return out
+
+
 def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
-                              n_nodes=512, order_deriv=None):
+                              n_nodes=512, order_deriv=None,
+                              extra_weight=None):
     """float64 host-side version of :func:`fit_chebyshev_filter`.
 
     The in-jit fit evaluates the filter MLP with the accelerator's
@@ -316,8 +367,6 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
 
     m = np.arange(max(order, order_deriv), dtype=np.float64)
     tmk = np.cos(m[:, None] * np.pi * (k[None, :] + 0.5) / n_nodes)
-    c = (2.0 / n_nodes) * (tmk[:order] @ h)
-    c[0] *= 0.5
 
     # Derivative series on the (1-z) T_m basis (see fit_chebyshev_filter):
     # only the MLP factor M(d) is differenced; the conv-cutoff part is
@@ -329,8 +378,30 @@ def fit_chebyshev_filter_host(block_params, rbf_params, config, order=64,
         dm * (u * (np.pi * sigma / 2.0) ** 2 * sinc * sinc)[:, None]
         - w * ((np.pi**2 * sigma / (2.0 * rcut)) * sinc_full)[:, None]
     )
-    c2 = (2.0 / n_nodes) * (tmk[:order_deriv] @ h2)
-    c2[0] *= 0.5
+
+    fit_method = getattr(config, "cheb_fit_method", "proj")
+    if fit_method == "proj":
+        c = (2.0 / n_nodes) * (tmk[:order] @ h)
+        c[0] *= 0.5
+        c2 = (2.0 / n_nodes) * (tmk[:order_deriv] @ h2)
+        c2[0] *= 0.5
+    elif fit_method in ("lawson", "wls"):
+        # Fit weight = delivered-quantity basis factor (with a floor;
+        # see _lawson_coeffs) times an optional d-dependent importance
+        # weight (e.g. the sqrt pair-density of the target structures:
+        # force error ACCUMULATES over pairs, so the right L2 objective
+        # weights the per-distance error by how many pairs live there).
+        ew = 1.0 if extra_weight is None else extra_weight(d)
+        wf = (u**2 + 0.05) * ew
+        wd = (u + 0.05) * ew
+        iters = 30 if fit_method == "lawson" else 1
+        c = _lawson_coeffs(h, tmk[:order], wf, iters=iters)
+        c2 = _lawson_coeffs(h2, tmk[:order_deriv], wd, iters=iters)
+    else:
+        raise ValueError(
+            f"unknown cheb_fit_method {fit_method!r} "
+            "(expected 'proj', 'wls', or 'lawson')"
+        )
 
     signs = np.where(np.arange(order) % 2 == 0, 1.0, -1.0)
     w0 = 4.0 * (signs @ c)

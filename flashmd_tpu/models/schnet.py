@@ -107,6 +107,19 @@ class SchNetConfig:
     # min-pair-distance soundness check at every export when this is
     # nonzero (simulation/base.py).
     cheb_d_min: float = 0.0
+    # How the Chebyshev coefficients are computed from the filter MLP:
+    #   "proj"   — truncated Chebyshev-Gauss projection of the
+    #              basis-stripped targets h = W'/(1-z)^2, h2 = (dW'/dd)/
+    #              (1-z) (L2-optimal for h/h2, but the reconstruction
+    #              re-multiplies the basis factor, so the *delivered*
+    #              error is up-weighted x4/x2 near z = -1);
+    #   "lawson" — Lawson iteratively-reweighted least squares toward
+    #              the weighted minimax of the RECONSTRUCTED quantity
+    #              (W' resp. dW'/dd) — measured ~2.2x lower max error at
+    #              equal order (benchmarks/fit_minimax_probe.py), which
+    #              buys a lower derivative order at equal force
+    #              fidelity. Host-fit only (attach_cheb_fit).
+    cheb_fit_method: str = "proj"
     # Rematerialization: "block" wraps each interaction block (including its
     # distance/RBF computation) in jax.checkpoint so the backward pass
     # recomputes the [A, K, F] intermediates instead of storing them —

@@ -173,6 +173,7 @@ def cgschnet_1enh_like(
     cheb_order: Optional[int] = None,
     cheb_order_deriv: Optional[int] = None,
     cheb_d_min: Optional[float] = None,
+    cheb_fit_method: Optional[str] = None,
 ) -> Tuple[ForceField, List[Configuration]]:
     """Flagship benchmark model: CGSchNet at 1ENH scale + priors.
 
@@ -266,6 +267,7 @@ def cgschnet_1enh_like(
                 else 0.0
             )
         ),
+        cheb_fit_method=cheb_fit_method or "proj",
     )
     # Size-coupling warning past the measured fidelity frontier. The bf16
     # grid was measured up to A = 532; the bf16x3 grid only at A = 266 —

@@ -66,6 +66,67 @@ def test_fit_matches_exact_filter(setup):
     assert err / scale < 3e-5
 
 
+@pytest.mark.parametrize("method", ["wls", "lawson"])
+def test_host_fit_methods_match_exact_filter(setup, method):
+    """The alternative fit methods (weighted LS / Lawson minimax, with
+    and without a density importance weight) reconstruct W'(d) to the
+    same fp32-level accuracy as the projection at full order."""
+    from flashmd_tpu.models.cheb import fit_chebyshev_filter_host
+
+    cfg, params, pos, types, nbr = setup
+    cfg_m = dataclasses.replace(cfg, cheb_fit_method=method)
+    bp = params["interactions"][0]
+    ew = (lambda d: np.sqrt(d + 0.1)) if method == "wls" else None
+    c, c2, w0 = fit_chebyshev_filter_host(
+        bp, params["rbf"], cfg_m, order=M, extra_weight=ew
+    )
+
+    d = jnp.linspace(0.05, RCUT * 0.999, 1000)
+    rbf = gaussian_basis_apply(params["rbf"], cfg.rbf_config, d)
+    exact = mlp_apply(bp["filter"], rbf) * cfg.cutoff(d)[:, None]
+
+    z = 2.0 * d / RCUT - 1.0
+    t_prev = jnp.square(1 - z)
+    t_cur = t_prev * z
+    approx = c[0][None, :] * t_prev[:, None] + c[1][None, :] * t_cur[:, None]
+    for m in range(2, M):
+        t_next = 2 * z * t_cur - t_prev
+        approx = approx + c[m][None, :] * t_next[:, None]
+        t_prev, t_cur = t_cur, t_next
+
+    scale = np.abs(np.asarray(exact)).max()
+    err = np.abs(np.asarray(approx - exact)).max()
+    assert err / scale < 3e-5
+    # coefficient norms must stay at projection scale (the floor-less
+    # minimax solution carries 20-1000x larger coefficients whose bf16
+    # evaluation noise swamps the fit gain — see _lawson_coeffs)
+    c_proj, _, _ = fit_chebyshev_filter_host(
+        bp, params["rbf"], cfg, order=M
+    )
+    assert (
+        np.abs(np.asarray(c)).sum(0).max()
+        < 3.0 * np.abs(np.asarray(c_proj)).sum(0).max()
+    )
+
+
+def test_fit_method_guards(setup):
+    """Non-proj methods are host-fit only; unknown methods raise."""
+    from flashmd_tpu.models.cheb import fit_chebyshev_filter_host
+
+    cfg, params, pos, types, nbr = setup
+    bp = params["interactions"][0]
+    with pytest.raises(NotImplementedError, match="host-side fit"):
+        fit_chebyshev_filter(
+            bp, params["rbf"],
+            dataclasses.replace(cfg, cheb_fit_method="lawson"), order=M,
+        )
+    with pytest.raises(ValueError, match="cheb_fit_method"):
+        fit_chebyshev_filter_host(
+            bp, params["rbf"],
+            dataclasses.replace(cfg, cheb_fit_method="typo"), order=M,
+        )
+
+
 def test_fit_zero_beyond_cutoff(setup):
     """Pairs beyond rcut contribute exactly zero (the (1-z)^2 factor)."""
     cfg, params, pos, types, nbr = setup
