@@ -740,3 +740,134 @@ def _cheb_bwd(rcut, precision, need_gx, d_min, residuals, g):
 
 
 _cheb_cfconv.defvjp(_cheb_fwd, _cheb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Whole-stack cheb path with a DEFERRED FUSED-GD backward.
+#
+# The distance-gradient (gd) half of each conv's backward is TERMINAL: it
+# feeds the position gradient directly and never propagates upstream (only
+# the gx half chains into earlier blocks). All B interaction blocks share
+# the same pair geometry z, so their gd chains can run in ONE kernel call
+# over block-stacked [A, B*F] operands — the gd contraction is a sum over
+# the F axis, so stacking blocks along F IS the sum over blocks, exactly
+# (up to fp summation order inside the MXU). The VPU-bound Chebyshev
+# recurrence, the pair-geometry setup, and the position epilogue then run
+# ONCE instead of B times; the per-order matmul FLOPs are unchanged (one
+# B*F-wide contraction replaces B F-wide ones).
+#
+# Weight cotangents on this path are ZERO (matching the per-block custom
+# VJP, which already returns zeros for c/c2/w0): this is the frozen-model
+# simulation path — training gradients flow through message_passing="xla".
+# ---------------------------------------------------------------------------
+
+
+def cheb_stack_apply(fits, lins, pos, x0, rcut, precision="bf16",
+                     cell=None, d_min=0.0):
+    """Run the full interaction-block stack with the fused-gd backward.
+
+    fits: per-block (c [M1,F], c2 [M2,F], w0 [F]) Chebyshev fits (all
+    blocks must share M2 — the fused gd kernel stacks c2 along F).
+    lins: per-block dicts with lin1_w, lin2_w, lin2_b, lin_w, lin_b.
+    pos [A,3]; x0 [A,F] (the pos-independent embedding — the first
+    block's gx path is skipped, same as the per-block dispatch).
+
+    Forward is bit-identical to the per-block path (same kernels, same
+    order); only the backward schedule differs. Requires the Pallas
+    backend (models/schnet.py gates on _use_pallas).
+    """
+    fits = tuple(tuple(f) for f in fits)
+    lins = tuple(
+        {k: lp[k] for k in ("lin1_w", "lin2_w", "lin2_b", "lin_w",
+                            "lin_b")}
+        for lp in lins
+    )
+    m2 = {f[1].shape[0] for f in fits}
+    if len(m2) != 1:
+        raise ValueError(
+            "cheb_stack_apply requires every block to share the "
+            f"derivative-series order (got {sorted(m2)})."
+        )
+    return _cheb_stack(
+        fits, lins, pos, x0, cell, float(rcut), precision, float(d_min)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _cheb_stack(fits, lins, pos, x0, cell, rcut, precision, d_min):
+    out, _ = _cheb_stack_fwd(
+        fits, lins, pos, x0, cell, rcut, precision, d_min
+    )
+    return out
+
+
+def _cheb_stack_fwd(fits, lins, pos, x0, cell, rcut, precision, d_min):
+    _, prec = _dtypes(precision)
+    x = x0
+    hs, ts = [], []
+    for (c, c2, w0), lp in zip(fits, lins):
+        h = jnp.dot(x, lp["lin1_w"], precision=prec)
+        agg, _ = _cheb_fwd(
+            c, c2, w0, pos, h, cell, rcut, precision, True, d_min
+        )
+        y = jnp.dot(agg, lp["lin2_w"], precision=prec) + lp["lin2_b"]
+        t = jnp.tanh(y)
+        x = x + jnp.dot(t, lp["lin_w"], precision=prec) + lp["lin_b"]
+        hs.append(h)
+        ts.append(t)
+    return x, (fits, lins, pos, cell, tuple(hs), tuple(ts))
+
+
+def _cheb_stack_bwd(rcut, precision, d_min, res, g_out):
+    from ..ops.pallas.cheb_kernel import cheb_conv_bwd_pallas
+
+    fits, lins, pos, cell, hs, ts = res
+    _, prec = _dtypes(precision)
+    nb = len(fits)
+    g = g_out
+    g_aggs = [None] * nb
+    for b in range(nb - 1, -1, -1):
+        c, c2, w0 = fits[b]
+        lp = lins[b]
+        # Hand-rolled VJP of x += Lin(tanh(Lin2(conv(Lin1(x))))) wrt the
+        # residual stream (weights are frozen on this path).
+        gt = jnp.dot(g, lp["lin_w"].T, precision=prec)
+        gy = gt * (1.0 - ts[b] * ts[b])
+        g_agg = jnp.dot(gy, lp["lin2_w"].T, precision=prec)
+        g_aggs[b] = g_agg
+        if b > 0:
+            # gx-only kernel: propagates the cotangent upstream; its gd
+            # chain is deferred to the single fused call below. Block 0's
+            # conv input is the pos-independent embedding — its gx path
+            # is dead (same skip as the per-block dispatch).
+            _, gh = cheb_conv_bwd_pallas(
+                c, c2, w0, pos, hs[b], g_agg, rcut, precision,
+                need_gx=True, need_gd=False, cell=cell, d_min=d_min,
+            )
+            g = g + jnp.dot(
+                gh.astype(g.dtype), lp["lin1_w"].T, precision=prec
+            )
+    # ONE fused gd kernel over block-stacked operands: sum_b gd_b falls
+    # out of the F-axis contraction.
+    c2_cat = jnp.concatenate([f[1] for f in fits], axis=1)
+    x_cat = jnp.concatenate(hs, axis=1)
+    g_cat = jnp.concatenate(g_aggs, axis=1)
+    fdim = c2_cat.shape[1]
+    dummy_c = jnp.zeros((1, fdim), c2_cat.dtype)
+    w0_cat = jnp.zeros((fdim,), c2_cat.dtype)
+    gpos, _ = cheb_conv_bwd_pallas(
+        dummy_c, c2_cat, w0_cat, pos, x_cat, g_cat, rcut, precision,
+        need_gx=False, need_gd=True, cell=cell, d_min=d_min,
+    )
+    zero_fits = jax.tree_util.tree_map(jnp.zeros_like, fits)
+    zero_lins = jax.tree_util.tree_map(jnp.zeros_like, lins)
+    return (
+        zero_fits,
+        zero_lins,
+        gpos.astype(pos.dtype),
+        g.astype(g_out.dtype),
+        _cell_cotangent(cell),
+    )
+
+
+_cheb_stack.defvjp(_cheb_stack_fwd, _cheb_stack_bwd)

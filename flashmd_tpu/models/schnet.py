@@ -32,6 +32,7 @@ Known reference bugs intentionally NOT replicated: undefined
 from __future__ import annotations
 
 import dataclasses
+import os
 import warnings
 from typing import Optional, Sequence, Tuple
 
@@ -348,7 +349,12 @@ def _schnet_atom_energies(
         # Matmul-only Chebyshev CFConv (see models/cheb.py). Requires a
         # zero-lower cosine conv cutoff (same restriction as the
         # reference's fused-RBF path, schnet.py:418-424).
-        from .cheb import cheb_cfconv_apply, fit_chebyshev_filter
+        from .cheb import (
+            _use_pallas,
+            cheb_cfconv_apply,
+            cheb_stack_apply,
+            fit_chebyshev_filter,
+        )
 
         if not isinstance(config.cutoff, CosineCutoff) or (
             config.cutoff.cutoff_lower != 0
@@ -366,19 +372,37 @@ def _schnet_atom_energies(
             or fits[0][1].shape[0] != order_deriv
         ):
             fits = None  # stale precompute (order changed): refit in-jit
+        fit_list = []
         for i, bp in enumerate(params["interactions"]):
             if fits is not None:
                 # float64 host-side fit injected at attach time
                 # (models/cheb.py attach_cheb_fit) — avoids baking the
                 # accelerator's transcendental approximations into the
                 # coefficients.
-                c, c2, w0 = fits[i]
+                fit_list.append(fits[i])
             else:
                 # Loop-invariant in the MD scan: XLA hoists the fit.
-                c, c2, w0 = fit_chebyshev_filter(
+                fit_list.append(fit_chebyshev_filter(
                     bp, params["rbf"], config, order=config.cheb_order,
                     order_deriv=order_deriv,
-                )
+                ))
+        if _use_pallas(pos.shape[0]) and os.environ.get(
+            "FLASHMD_CHEB_STACK", "1"
+        ) == "1":
+            # Deferred fused-gd backward: forward is bit-identical to
+            # the per-block loop below; the backward runs per-block
+            # gx-only kernels plus ONE block-stacked gd kernel (the
+            # VPU-bound recurrence runs once instead of once per block
+            # — see models/cheb.cheb_stack_apply). FLASHMD_CHEB_STACK=0
+            # restores the per-block backward for A/B runs.
+            x = cheb_stack_apply(
+                fit_list, params["interactions"], pos, x, rcut,
+                config.precision, cell=cell,
+                d_min=float(config.cheb_d_min),
+            )
+            return output_energies(params, config, x, atom_types)
+        for i, bp in enumerate(params["interactions"]):
+            c, c2, w0 = fit_list[i]
             h = jnp.dot(x, bp["lin1_w"], precision=prec)
             # The first block's conv input derives from the embedding
             # (no pos dependence), so its grad-wrt-x cotangent is dead:

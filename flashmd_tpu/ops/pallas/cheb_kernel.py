@@ -473,7 +473,7 @@ def _cheb_fwd_kernel(
 def _cheb_bwd_kernel(
     pos_ref, x_ref, c_ref, c2_ref, w0_ref, g_ref, *rest,
     order_gx, order_gd, rcut, a_pad, a_real, ta, precision, n_chains,
-    need_gx=True, has_cell=False, d_min=0.0, has_lin=False,
+    need_gx=True, need_gd=True, has_cell=False, d_min=0.0, has_lin=False,
 ):
     rest = list(rest)
     cell_ref = rest.pop(0) if has_cell else None
@@ -481,7 +481,9 @@ def _cheb_bwd_kernel(
     wlin_ref = rest.pop(0) if has_lin else None
     gpos_ref, gx_ref = rest
     n = n_chains
-    assert order_gd % n == 0 and order_gd >= 2 * n
+    assert need_gx or need_gd
+    if need_gd:
+        assert order_gd % n == 0 and order_gd >= 2 * n
     if need_gx:
         assert order_gx % n == 0 and order_gx >= 2 * n
     t = pl.program_id(1)
@@ -538,7 +540,7 @@ def _cheb_bwd_kernel(
             acc = acc + prod[cch * ta:(cch + 1) * ta]
         return acc
 
-    gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n)
+    gd = chain_gd(hs_prev, 0) + chain_gd(hs_cur, n) if need_gd else None
 
     # CHUNK-UNROLLED order loop (see _run_bwd_groups): like the forward,
     # straight-line code lets Mosaic overlap each group's MXU matmuls with
@@ -556,14 +558,16 @@ def _cheb_bwd_kernel(
     # segment — that is the whole payoff (the derivative series needs
     # more terms than the forward series at equal force fidelity, so
     # order_gx < order_gd skips dead gx work; benchmarks/fidelity_asym.py).
-    groups_gd = order_gd // n
+    groups_gd = order_gd // n if need_gd else 0
 
     def step_gd(h, m, accs):
         return (accs[0] + chain_gd(h, m),)
 
     if need_gx:
         groups_gx = order_gx // n
-        shared = min(groups_gx, groups_gd)
+        # Without a gd chain the "shared" segment is empty: the gx-only
+        # segment starts right after the two seed groups.
+        shared = min(groups_gx, groups_gd) if need_gd else 2
         gx_acc = chain_gx(hs_prev, 0) + chain_gx(hs_cur, n)
 
         def step_both(h, m, accs):
@@ -572,9 +576,10 @@ def _cheb_bwd_kernel(
         def step_gx(h, m, accs):
             return (accs[0] + chain_gx(h, m),)
 
-        hs_prev, hs_cur, (gx_acc, gd) = _run_bwd_groups(
-            2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both, qs, n
-        )
+        if need_gd:
+            hs_prev, hs_cur, (gx_acc, gd) = _run_bwd_groups(
+                2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both, qs, n
+            )
         if groups_gx > shared:
             hs_prev, hs_cur, (gx_acc,) = _run_bwd_groups(
                 shared, groups_gx, hs_prev, hs_cur, (gx_acc,), step_gx,
@@ -607,6 +612,12 @@ def _cheb_bwd_kernel(
         hs_prev, hs_cur, (gd,) = _run_bwd_groups(
             2, groups_gd, hs_prev, hs_cur, (gd,), step_gd, qs, n
         )
+
+    if not need_gd:
+        # gx-only variant (the deferred fused-gd backward runs the
+        # distance-gradient chains for ALL blocks in one later kernel):
+        # gpos stays the zeros written at t == 0.
+        return
 
     # ---- distance gradient -> position gradient, row and column sides
     keep = (d < rcut) & (rows != cols) & ~is_pad
@@ -732,7 +743,8 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
 
 
 def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
-                         need_gx=True, tile_budget: int | None = None,
+                         need_gx=True, need_gd=True,
+                         tile_budget: int | None = None,
                          cell=None, d_min: float = 0.0):
     """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
 
@@ -745,6 +757,14 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
 
     ``need_gx=False`` specializes the kernel to the distance-gradient-only
     variant (gx returned as zeros) — the gx contraction never runs.
+    ``need_gd=False`` specializes it the other way (gpos returned as
+    zeros; the distance-gradient chain and position epilogue never run)
+    — used by the deferred fused-gd backward (models/cheb.
+    cheb_stack_apply), where ONE later kernel call runs the gd chains of
+    every interaction block at once over block-stacked [A, B*F] operands
+    (the gd contraction is a sum over the F axis, so stacking blocks
+    along F IS the sum over blocks, and the VPU-bound recurrence +
+    position epilogue run once instead of B times).
     ``cell`` switches to minimum-image geometry (matching the forward).
 
     The chain stride is N_CHAINS_BWD (8) when every live order allows it,
@@ -752,10 +772,13 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     profits from the wider ILP (measured -19% on gd-only, -6% on gx at
     A=532; the forward measured SLOWER at n=8 and keeps 4).
     """
+    assert need_gx or need_gd
     a = pos.shape[0]
     f = x.shape[-1]
     order_gd = c2.shape[0]
-    n_chains = _bwd_n_chains(order_gd)
+    # The gx series is zero-padded to any stride by _to_that_basis, so
+    # the gx-only variant always takes the wide stride.
+    n_chains = _bwd_n_chains(order_gd) if need_gd else N_CHAINS_BWD
     if need_gx:
         # gx series re-expressed on the chain's own That basis (exact;
         # one extra row, zero-padded to the stride) — the kernel then
@@ -792,6 +815,16 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
                 tile_budget = 64_000 if need_gx else 104_000
             else:
                 tile_budget = 74_000 if need_gx else 120_000
+        if not need_gd:
+            # gx-only: no um/prod temporaries live across the loop — the
+            # gd-only budget column applies (the gx contraction's rhs is
+            # the same size as gd's).
+            tile_budget = 52_000 if cell is not None else 75_000
+        if f > 128:
+            # Block-stacked fused-gd operands: the per-group rhs [n*TA,
+            # B*F] grows with F while the budgets above were validated
+            # at F=128 — scale the stack-critical tile down accordingly.
+            tile_budget = max(tile_budget * 128 // f, 4_000)
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta
@@ -802,7 +835,7 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
         _cheb_bwd_kernel, order_gx=order_gx, order_gd=order_gd,
         rcut=float(rcut), a_pad=a_pad,
         a_real=a, ta=ta, precision=precision, n_chains=n_chains,
-        need_gx=need_gx,
+        need_gx=need_gx, need_gd=need_gd,
         has_cell=cell is not None, d_min=float(d_min), has_lin=has_lin,
     )
     in_specs = [
