@@ -39,6 +39,19 @@ Accuracy: h is C^infinity, so the Chebyshev error decays geometrically;
 the fit (a few jnp ops: sample at Chebyshev nodes + discrete cosine
 transform) is loop-invariant in the simulation scan — XLA hoists it, so
 it costs nothing per step. Validated against the exact MLP path in tests.
+
+GRADIENT CONTRACT (inference-only): this module is the FROZEN-MODEL
+simulation path. Its custom VJPs propagate cotangents to positions and
+node features only; every PARAMETER cotangent is exactly zero —
+``_cheb_bwd`` returns zeros for the Chebyshev tables (c, c2, w0), which
+also severs the chain back into the filter-MLP weights they were fitted
+from, and the whole-stack path (``cheb_stack_apply``) additionally
+returns zeros for all linear-layer weights. ``jax.grad(...,
+argnums=params)`` through ``message_passing="cheb"`` therefore yields
+silent zeros, by design: fine-tuning and sensitivity analysis must use
+``message_passing="xla"`` (full autodiff). The contract is pinned by
+tests/models/test_cheb_stack.py::test_stack_param_grads_are_zero_by_contract
+and tests/models/test_schnet.py::test_cheb_param_grad_contract.
 """
 
 from __future__ import annotations

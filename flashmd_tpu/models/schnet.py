@@ -85,6 +85,11 @@ class SchNetConfig:
     #   "dense"  — dense all-pairs Pallas kernel (no neighbor list);
     #   "cheb"   — Chebyshev-tabulated matmul-only CFConv (no neighbor
     #              list, no per-edge MLP; see flashmd_tpu.models.cheb).
+    #              INFERENCE-ONLY gradients: the cheb custom VJPs return
+    #              exactly-zero cotangents for model parameters (the
+    #              frozen-model simulation contract — see the models/cheb
+    #              module docstring); parameter gradients (fine-tuning,
+    #              sensitivity) require "xla".
     message_passing: str = "xla"
     # Chebyshev expansion order for message_passing="cheb" (the forward
     # filter series), and the independent order of the distance-derivative

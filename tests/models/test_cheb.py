@@ -256,3 +256,35 @@ def test_requires_cosine_cutoff(setup):
     )
     with pytest.raises(NotImplementedError):
         schnet_energy(params, cfg_bad, pos, types, None)
+
+def test_cheb_param_grad_contract(setup):
+    """INFERENCE-ONLY gradient contract of the cheb path (pinned; see
+    the models/cheb module docstring): jax.grad wrt the FILTER-NET
+    parameters through message_passing='cheb' is exactly zero — the
+    custom VJP returns zero cotangents for the fitted tables (c, c2,
+    w0), severing the chain back into the MLP weights they came from —
+    while the same gradient through the 'xla' path is the true, nonzero
+    autodiff gradient. Fine-tuning through 'cheb' would silently train
+    nothing; this test keeps that contract visible and unchanging."""
+    cfg, params, pos, types, nbr = setup
+    cfg_c = dataclasses.replace(cfg, message_passing="cheb")
+
+    def energy_of_filters(filter_params, config, nbr_arg):
+        p = dict(params)
+        p["interactions"] = [
+            {**bp, "filter": fp}
+            for bp, fp in zip(params["interactions"], filter_params)
+        ]
+        return schnet_energy(p, config, pos, types, nbr_arg)
+
+    filters = [bp["filter"] for bp in params["interactions"]]
+    g_cheb = jax.grad(energy_of_filters)(filters, cfg_c, None)
+    for leaf in jax.tree_util.tree_leaves(g_cheb):
+        assert np.all(np.asarray(leaf) == 0.0)
+
+    g_xla = jax.grad(energy_of_filters)(filters, cfg, nbr)
+    norms = [
+        float(jnp.max(jnp.abs(leaf)))
+        for leaf in jax.tree_util.tree_leaves(g_xla)
+    ]
+    assert max(norms) > 0.0

@@ -1,0 +1,251 @@
+"""cheb_stack_apply — the deferred fused-gd backward (default TPU path).
+
+The whole-stack custom VJP (models/cheb.py:_cheb_stack_bwd) hand-rolls the
+chain rule through lin2/tanh/lin per block, runs per-block gx-only Pallas
+kernels, and ONE block-stacked fused-gd kernel. On the CPU test backend
+the forward takes the pure-jnp path (models/cheb._use_pallas is False
+under FLASHMD_PALLAS_INTERPRET=1) while the backward's direct
+cheb_conv_bwd_pallas calls run in Pallas interpreter mode — so every
+hand-written piece of the stack VJP is executed by this suite, mirroring
+how tests/ops/test_cheb_kernel.py covers the per-block kernels. (The
+reference never unit-tests its hand-written backwards at all —
+reference: src/flashmd/kernels/csr_kernels.py:302-396.)
+
+Oracle: the per-block dispatch path (cheb_cfconv_apply inside the same
+lin1/lin2/tanh/lin block structure, models/schnet.py:404-418), whose own
+custom VJP is finite-difference- and autodiff-tested elsewhere. Forward
+values must be bit-identical (same kernels, same order); gradients agree
+to float tolerance (different summation schedule only).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flashmd_tpu.models.cheb import (
+    cheb_cfconv_apply,
+    cheb_stack_apply,
+    fit_chebyshev_filter,
+)
+from flashmd_tpu.models.cutoff import CosineCutoff
+from flashmd_tpu.models.mlp import dot_precision
+from flashmd_tpu.models.schnet import SchNetConfig, init_schnet
+
+RCUT = 4.0
+F = 16
+ORDER = 16
+N_BLOCKS = 3
+
+CELL = jnp.asarray(
+    [[7.0, 0.0, 0.0], [0.5, 6.5, 0.0], [0.0, 0.3, 7.5]], jnp.float32
+)
+
+
+def _make_model(d_min=0.0, order_deriv=None):
+    cfg = SchNetConfig(
+        hidden_channels=F,
+        embedding_size=4,
+        num_filters=F,
+        num_rbf=9,
+        num_interactions=N_BLOCKS,
+        cutoff=CosineCutoff(0.0, RCUT),
+        output_hidden_layer_widths=(8,),
+        cheb_d_min=d_min,
+    )
+    params = init_schnet(jax.random.PRNGKey(0), cfg)
+    fits = [
+        fit_chebyshev_filter(
+            bp, params["rbf"], cfg, order=ORDER, order_deriv=order_deriv
+        )
+        for bp in params["interactions"]
+    ]
+    return cfg, params, fits
+
+
+def _random_inputs(a, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = jnp.asarray(rng.uniform(0, 6.0, (a, 3)), jnp.float32)
+    x0 = jnp.asarray(rng.normal(size=(a, F)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(a, F)), jnp.float32)
+    return pos, x0, g
+
+
+def _per_block_apply(fits, lins, pos, x0, cell=None, d_min=0.0):
+    """The per-block dispatch branch (models/schnet.py:404-418) as a
+    function: lin1 -> cheb conv (block 0 skips gx) -> lin2 -> tanh ->
+    lin, residual."""
+    prec = dot_precision("fp32")
+    x = x0
+    for i, ((c, c2, w0), lp) in enumerate(zip(fits, lins)):
+        h = jnp.dot(x, lp["lin1_w"], precision=prec)
+        agg = cheb_cfconv_apply(
+            c, c2, w0, pos, h, RCUT, "fp32", i > 0, cell=cell,
+            d_min=d_min,
+        )
+        y = jnp.dot(agg, lp["lin2_w"], precision=prec) + lp["lin2_b"]
+        x = x + jnp.dot(jnp.tanh(y), lp["lin_w"], precision=prec) + lp[
+            "lin_b"
+        ]
+    return x
+
+
+@pytest.mark.parametrize("cell", [None, "CELL"])
+@pytest.mark.parametrize("d_min", [0.0, 1.2])
+def test_stack_matches_per_block(cell, d_min):
+    """Forward bit-identical to the per-block path; pos/x0 gradients
+    equal to float tolerance — across >= 2 blocks, with/without a
+    periodic cell and with/without the restricted fit domain (all four
+    operand layouts of the underlying kernels)."""
+    cell_m = CELL if cell == "CELL" else None
+    cfg, params, fits = _make_model(d_min=d_min)
+    lins = params["interactions"]
+    pos, x0, g = _random_inputs(23, seed=7)
+
+    out_stack = cheb_stack_apply(
+        fits, lins, pos, x0, RCUT, "fp32", cell=cell_m, d_min=d_min
+    )
+    out_ref = _per_block_apply(fits, lins, pos, x0, cell_m, d_min)
+    np.testing.assert_array_equal(
+        np.asarray(out_stack), np.asarray(out_ref)
+    )
+
+    def loss_stack(pos, x0):
+        return jnp.sum(
+            cheb_stack_apply(
+                fits, lins, pos, x0, RCUT, "fp32", cell=cell_m,
+                d_min=d_min,
+            )
+            * g
+        )
+
+    def loss_ref(pos, x0):
+        return jnp.sum(_per_block_apply(fits, lins, pos, x0, cell_m,
+                                        d_min) * g)
+
+    gpos_s, gx0_s = jax.grad(loss_stack, argnums=(0, 1))(pos, x0)
+    gpos_r, gx0_r = jax.grad(loss_ref, argnums=(0, 1))(pos, x0)
+    np.testing.assert_allclose(
+        np.asarray(gpos_s), np.asarray(gpos_r), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx0_s), np.asarray(gx0_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_stack_multi_tile_and_asymmetric_orders():
+    """A=48 forces a multi-tile kernel grid; order_deriv > order is the
+    production default shape of the fit (the stacked c2 then has more
+    rows than the forward series)."""
+    cfg, params, fits = _make_model(order_deriv=32)
+    lins = params["interactions"]
+    pos, x0, g = _random_inputs(48, seed=11)
+
+    def loss_stack(pos, x0):
+        return jnp.sum(
+            cheb_stack_apply(fits, lins, pos, x0, RCUT, "fp32") * g
+        )
+
+    def loss_ref(pos, x0):
+        return jnp.sum(_per_block_apply(fits, lins, pos, x0) * g)
+
+    np.testing.assert_array_equal(
+        np.asarray(cheb_stack_apply(fits, lins, pos, x0, RCUT, "fp32")),
+        np.asarray(_per_block_apply(fits, lins, pos, x0)),
+    )
+    gpos_s, gx0_s = jax.grad(loss_stack, argnums=(0, 1))(pos, x0)
+    gpos_r, gx0_r = jax.grad(loss_ref, argnums=(0, 1))(pos, x0)
+    np.testing.assert_allclose(
+        np.asarray(gpos_s), np.asarray(gpos_r), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gx0_s), np.asarray(gx0_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_stack_grad_matches_autodiff_oracle():
+    """Position gradient vs jax.grad of the plain-jnp forward (no custom
+    VJPs anywhere): catches an error in the designed c2 backward that a
+    stack-vs-per-block comparison would share. Tolerance reflects the
+    ORDER=16 fit error of the derivative series, as in
+    tests/ops/test_cheb_kernel.test_bwd_kernel_matches_autodiff."""
+    from flashmd_tpu.models.cheb import _cheb_forward_only, _pair_z
+
+    cfg, params, fits = _make_model()
+    lins = params["interactions"]
+    pos, x0, g = _random_inputs(23, seed=5)
+    prec = dot_precision("fp32")
+
+    def plain_forward(pos, x0):
+        x = x0
+        for i, ((c, c2, w0), lp) in enumerate(zip(fits, lins)):
+            h = jnp.dot(x, lp["lin1_w"], precision=prec)
+            if i == 0:
+                # Reproduce the deliberate block-0 gx skip (the conv
+                # input is pos-independent in production; here x0 is a
+                # differentiation target, so sever the cotangent path
+                # explicitly to match need_gx=False semantics).
+                h = jax.lax.stop_gradient(h)
+            _, z = _pair_z(pos, RCUT)
+            agg = _cheb_forward_only(c, w0, z, h, "fp32")
+            y = jnp.dot(agg, lp["lin2_w"], precision=prec) + lp["lin2_b"]
+            x = x + jnp.dot(jnp.tanh(y), lp["lin_w"], precision=prec) + (
+                lp["lin_b"]
+            )
+        return jnp.sum(x * g)
+
+    def loss_stack(pos, x0):
+        return jnp.sum(
+            cheb_stack_apply(fits, lins, pos, x0, RCUT, "fp32") * g
+        )
+
+    gpos_ad, gx0_ad = jax.grad(plain_forward, argnums=(0, 1))(pos, x0)
+    gpos_s, gx0_s = jax.grad(loss_stack, argnums=(0, 1))(pos, x0)
+    np.testing.assert_allclose(
+        np.asarray(gx0_s), np.asarray(gx0_ad), rtol=1e-4, atol=1e-4
+    )
+    scale = np.max(np.abs(np.asarray(gpos_ad))) + 1e-8
+    assert np.max(np.abs(np.asarray(gpos_s - gpos_ad))) / scale < 2e-2
+
+
+def test_stack_shared_m2_required():
+    """All blocks must share the derivative-series order (the fused gd
+    kernel stacks c2 along F): mixed orders raise."""
+    cfg, params, fits = _make_model()
+    lins = params["interactions"]
+    pos, x0, _ = _random_inputs(23)
+    bad = list(fits)
+    c, c2, w0 = bad[1]
+    bad[1] = (c, c2[: ORDER // 2], w0)
+    with pytest.raises(ValueError, match="derivative-series order"):
+        cheb_stack_apply(bad, lins, pos, x0, RCUT, "fp32")
+
+
+def test_stack_param_grads_are_zero_by_contract():
+    """INFERENCE-ONLY gradient contract (pinned): the stack VJP returns
+    exactly-zero cotangents for the Chebyshev tables AND every linear
+    weight — anyone fine-tuning through the stack path gets zeros, by
+    design (frozen-model simulation path; training uses
+    message_passing='xla'). This test makes the contract visible and
+    prevents it from silently changing. See models/cheb.py docstring."""
+    cfg, params, fits = _make_model()
+    lins = params["interactions"]
+    pos, x0, g = _random_inputs(23, seed=3)
+
+    def loss(fits, lins):
+        return jnp.sum(
+            cheb_stack_apply(fits, lins, pos, x0, RCUT, "fp32") * g
+        )
+
+    gf, gl = jax.grad(loss, argnums=(0, 1))(
+        tuple(tuple(f) for f in fits),
+        tuple(
+            {k: lp[k] for k in ("lin1_w", "lin2_w", "lin2_b", "lin_w",
+                                "lin_b")}
+            for lp in lins
+        ),
+    )
+    for leaf in jax.tree_util.tree_leaves((gf, gl)):
+        assert np.all(np.asarray(leaf) == 0.0)

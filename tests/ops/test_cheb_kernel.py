@@ -147,6 +147,79 @@ def test_kernels_chunked_order_loop(fit, order, need_gx):
     )
 
 
+@pytest.mark.parametrize("cell", [None, "CELL"])
+@pytest.mark.parametrize(
+    "a,budget",
+    [
+        (23, 150_000),  # single tile
+        (48, 500),  # multi-tile: cross-tile gx accumulation
+    ],
+)
+def test_bwd_kernel_gx_only_matches_jnp(fit, a, budget, cell):
+    """need_gd=False (gx-only) kernel variant: the deferred fused-gd
+    backward (models/cheb.cheb_stack_apply) uses it per block to chain
+    the cotangent upstream while ALL blocks' distance-gradient chains run
+    in one later stacked call. gx must match the jnp reference exactly as
+    the combined kernel's does; gpos must be exactly the zeros written at
+    t == 0 (the gd chain never runs)."""
+    cell_m = CELL if cell == "CELL" else None
+    c, c2, w0 = fit
+    pos, x, g = _random_inputs(a, seed=3)
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        c, c2, w0, pos, x, g, RCUT, "fp32", need_gx=True, need_gd=False,
+        tile_budget=budget, cell=cell_m,
+    )
+    _, _, gx_ref = _jnp_bwd(c, c2, w0, pos, x, g, need_gx=True,
+                            cell=cell_m)
+    np.testing.assert_allclose(
+        np.asarray(gx_k), np.asarray(gx_ref), rtol=1e-4, atol=1e-4
+    )
+    assert np.all(np.asarray(gpos_k) == 0.0)
+
+
+def test_bwd_kernel_gd_only_block_stacked(fit):
+    """The fused-gd call as cheb_stack_apply issues it: need_gx=False,
+    need_gd=True over BLOCK-STACKED [A, B*F] operands (c2/x/g of B blocks
+    concatenated along F, dummy 1-row c, zero w0). The gd contraction
+    sums over the F axis, so the stacked gpos must equal the SUM of the
+    per-block gpos results."""
+    rng = np.random.default_rng(31)
+    nb = 3
+    pos, _, _ = _random_inputs(23, seed=29)
+    c2s = [
+        jnp.asarray(rng.normal(size=(ORDER, F)) / ORDER, jnp.float32)
+        for _ in range(nb)
+    ]
+    xs = [jnp.asarray(rng.normal(size=(23, F)), jnp.float32)
+          for _ in range(nb)]
+    gs = [jnp.asarray(rng.normal(size=(23, F)), jnp.float32)
+          for _ in range(nb)]
+    c, _, w0 = fit
+
+    gpos_sum = None
+    for c2b, xb, gb in zip(c2s, xs, gs):
+        gpos_b, _ = cheb_conv_bwd_pallas(
+            c, c2b, w0, pos, xb, gb, RCUT, "fp32", need_gx=False,
+            need_gd=True,
+        )
+        gpos_sum = gpos_b if gpos_sum is None else gpos_sum + gpos_b
+
+    fdim = nb * F
+    gpos_k, gx_k = cheb_conv_bwd_pallas(
+        jnp.zeros((1, fdim), jnp.float32),
+        jnp.concatenate(c2s, axis=1),
+        jnp.zeros((fdim,), jnp.float32),
+        pos,
+        jnp.concatenate(xs, axis=1),
+        jnp.concatenate(gs, axis=1),
+        RCUT, "fp32", need_gx=False, need_gd=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gpos_k), np.asarray(gpos_sum), rtol=1e-4, atol=1e-4
+    )
+    assert np.all(np.asarray(gx_k) == 0.0)
+
+
 @pytest.mark.parametrize(
     "order_fwd,order_deriv",
     [
