@@ -43,6 +43,21 @@ def main():
     cheb_order_deriv = os.environ.get("BENCH_ORDER_DERIV")
     cheb_d_min = os.environ.get("BENCH_DMIN")
 
+    # BASELINE config 5 (batch+replica sharding): BENCH_MESH=auto|N builds
+    # an N-device ("replica",) mesh and runs the identical protocol with
+    # the batch axis sharded over it (mirrors Simulation(mesh=...) /
+    # --simulation.mesh auto). On hardware this is a v5e-8 pod slice; on
+    # the CPU backend an xla_force_host_platform_device_count virtual
+    # mesh validates the plumbing (number meaningless there).
+    mesh = None
+    mesh_env = os.environ.get("BENCH_MESH")
+    if mesh_env:
+        from flashmd_tpu.parallel.mesh import make_replica_mesh
+
+        mesh = make_replica_mesh(
+            None if mesh_env == "auto" else int(mesh_env)
+        )
+
     ff, configs = cgschnet_1enh_like(
         n_atoms=n_atoms,
         batch_size=batch_size,
@@ -64,12 +79,17 @@ def main():
         neighbor_rebuild_interval=int(
             os.environ.get("BENCH_NBR_INTERVAL", "10")
         ),
+        mesh=mesh,
     )
     sim.attach_model_and_configurations(ff, configs, beta=1.67)
 
     # Direct rollout timing (same math as sim.simulate(), minus file IO).
     key = jax.random.PRNGKey(0)
     carry = sim._init_carry(sim.initial_system, key)
+    if mesh is not None:
+        from flashmd_tpu.parallel.mesh import shard_carry
+
+        carry = shard_carry(carry, mesh)
     rollout = sim._build_rollout(1)  # one frame = `chunk` timesteps
 
     # Warm-up / compile + first half.
@@ -101,6 +121,36 @@ def main():
         "unit": "timestep*mol/s",
         "vs_baseline": round(throughput / BASELINE, 3),
     }
+    if mesh is not None:
+        result["mesh_devices"] = int(mesh.devices.size)
+
+    # FLOP / MFU accounting (normalizes comparisons across chip
+    # generations; the reference quotes throughput only —
+    # reference README.md:76-81). Analytic KERNEL FLOPs per
+    # molecule-step of the cheb path: each of B blocks runs M1 forward
+    # order-matmuls [A,A]@[A,F]; the backward runs M1 gx chains per
+    # block except block 0 (pos-independent embedding input) and M2 gd
+    # chains per block (block-stacked into one kernel, same FLOPs) —
+    # (2B-1)*M1 + B*M2 order-matmuls of 2*A^2*F. Logical (unpadded A)
+    # and kernel-only: lins/output-MLP/priors are <2% of the step
+    # (PERFORMANCE.md). Peak: v5e bf16 ~197 TFLOP/s (override with
+    # BENCH_PEAK_TFLOPS for other chips).
+    cfg = ff.schnet_config
+    if cfg is not None and cfg.message_passing == "cheb":
+        m1 = cfg.cheb_order
+        m2 = cfg.cheb_order_deriv or m1
+        b = cfg.num_interactions
+        order_matmuls = (2 * b - 1) * m1 + b * m2
+        flops_per_mol_step = order_matmuls * 2 * n_atoms**2 * (
+            cfg.num_filters
+        )
+        peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+        achieved = flops_per_mol_step * throughput
+        result["kernel_gflops_per_mol_step"] = round(
+            flops_per_mol_step / 1e9, 2
+        )
+        result["achieved_tflops"] = round(achieved / 1e12, 1)
+        result["mfu_vs_peak"] = round(achieved / (peak_tflops * 1e12), 3)
 
     # Corroboration: the same config through the PRODUCTION loop
     # (sim.simulate() with real npy/checkpoint file IO and the pair-floor

@@ -83,8 +83,10 @@ def gx_only():
 
 def fused_gd(tb, concat=True, n=8):
     """concat=True includes the per-step HBM concat of the stacked
-    operands (what the production stack path pays today)."""
-    K.N_CHAINS_BWD = n
+    operands (what the production stack path pays today).
+
+    N_CHAINS_BWD is restored after the compile (make_loop compiles
+    eagerly) so later specs never inherit this spec's stride."""
 
     def one(xx):
         if concat:
@@ -97,7 +99,12 @@ def fused_gd(tb, concat=True, n=8):
             "bf16", need_gx=False, d_min=D_MIN, tile_budget=tb,
         )[0].sum(axis=-1, keepdims=True) * jnp.zeros((1, F))
 
-    return make_loop(one)
+    saved = K.N_CHAINS_BWD
+    K.N_CHAINS_BWD = n
+    try:
+        return make_loop(one)
+    finally:
+        K.N_CHAINS_BWD = saved
 
 
 specs = [

@@ -265,6 +265,16 @@ class Simulation:
         # Checkpoint loading (reference base.py:1023-1074).
         self.checkpointed_state = None
         self.current_timestep = 0
+        # RNG continuation: the checkpoint's saved rng_key replaces the
+        # seed-derived key on resume, so the continued trajectory draws
+        # FRESH noise instead of replaying the original run's subkey
+        # sequence (the reference restores only pos/vel — a resumed run
+        # there re-experiences its own first-steps noise; reference
+        # base.py:1023-1074 — we do better). `carry__*` entries restore
+        # integrator-specific carry leaves (e.g. PT's exchange parity
+        # and cumulative acceptance counters).
+        self._checkpoint_rng_key = None
+        self._checkpoint_carry_extra = {}
         if self.read_checkpoint_file is not None:
             if isinstance(self.read_checkpoint_file, str):
                 fn = self.read_checkpoint_file
@@ -279,6 +289,20 @@ class Simulation:
             ckpt = dict(np.load(fn, allow_pickle=False))
             self.checkpointed_state = ckpt
             self.current_timestep = int(ckpt["current_timestep"])
+            if "rng_key" in ckpt:
+                self._checkpoint_rng_key = ckpt["rng_key"]
+            else:
+                warnings.warn(
+                    "Checkpoint has no rng_key: the resumed run re-derives "
+                    "the key from random_seed and will REPLAY the original "
+                    "run's noise sequence.",
+                    UserWarning,
+                )
+            self._checkpoint_carry_extra = {
+                k[len("carry__"):]: v
+                for k, v in ckpt.items()
+                if k.startswith("carry__")
+            }
             for field in ("export_interval", "save_interval", "log_interval"):
                 if field in ckpt:
                     val = ckpt[field]
@@ -750,8 +774,17 @@ class Simulation:
             )
         self._set_up_simulation(overwrite)
 
-        key = jax.random.PRNGKey(self.random_seed)
+        if self._checkpoint_rng_key is not None:
+            # Continue the checkpointed stochastic stream: the saved key
+            # is the post-run carry key, so the resumed segment's noise
+            # is exactly what an uninterrupted run would have drawn next.
+            key = jnp.asarray(self._checkpoint_rng_key, jnp.uint32)
+        else:
+            key = jax.random.PRNGKey(self.random_seed)
         carry = self._init_carry(self.initial_system, key)
+        for name, val in self._checkpoint_carry_extra.items():
+            if name in carry:
+                carry[name] = jnp.asarray(val, carry[name].dtype)
         if self.mesh is not None:
             from ..parallel.mesh import shard_carry
 
@@ -1103,7 +1136,14 @@ class Simulation:
             ),
             "rng_key": np.asarray(carry["key"]),
         }
+        for name, val in self._checkpoint_extra_state(carry).items():
+            state[f"carry__{name}"] = np.asarray(val)
         np.savez(f"{self.filename}_checkpoint_{key}.npz", **state)
+
+    def _checkpoint_extra_state(self, carry) -> Dict:
+        """Integrator-specific carry leaves to persist in checkpoints
+        (restored by name into the fresh carry on resume). Base: none."""
+        return {}
 
     # ------------------------------------------------------------------
     # Logging / metrics (reference base.py:741-819)

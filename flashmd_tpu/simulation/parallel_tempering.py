@@ -156,6 +156,20 @@ class PTSimulation(LangevinSimulation):
         carry["n_exchange_attempted"] = jnp.asarray(0, jnp.int32)
         return carry
 
+    def _checkpoint_extra_state(self, carry):
+        """PT state that must survive a resume: the even/odd exchange
+        parity (so the alternation continues instead of restarting even)
+        and the CUMULATIVE acceptance counters feeding summary(). The
+        per-export acceptance_matrix is deliberately NOT persisted:
+        checkpoints coincide with exports, where the matrix has just been
+        written to its own npy and reset — a resumed run correctly starts
+        the next export window at zero."""
+        return {
+            "exchange_parity": carry["exchange_parity"],
+            "n_exchange_approved": carry["n_exchange_approved"],
+            "n_exchange_attempted": carry["n_exchange_attempted"],
+        }
+
     # ------------------------------------------------------------------
     # On-device replica exchange (reference parallel_tempering.py:349-502)
     # ------------------------------------------------------------------

@@ -323,3 +323,77 @@ def test_launch_cap_validation():
         LangevinSimulation(
             n_timesteps=100, save_interval=10, max_steps_per_launch=0
         )
+
+
+def test_resume_continues_rng_stream(tmp_path):
+    """Resume must CONTINUE the stochastic stream, not replay it: a run
+    of 2N steps and a run of N steps resumed to 2N (same seed) must
+    produce identical trajectories — the checkpoint's saved rng_key is
+    restored into the carry (the reference restores only pos/vel, so a
+    resumed run there re-experiences its own first-steps noise;
+    reference base.py:1023-1074 — a defect we do not copy)."""
+    kwargs = dict(
+        friction=1.0,
+        dt=1e-3,
+        save_interval=5,
+        export_interval=25,
+        create_checkpoints=True,
+        random_seed=9,
+    )
+    dir_a = tmp_path / "a"
+    dir_b = tmp_path / "b"
+    dir_a.mkdir()
+    dir_b.mkdir()
+
+    sim_a = LangevinSimulation(
+        n_timesteps=50, filename="traj", output_dir=str(dir_a), **kwargs
+    )
+    sim_a.attach_model_and_configurations(
+        harmonic_ff(4), chain_configs(2, 4), beta=1.0
+    )
+    sim_a.simulate()
+
+    sim_b1 = LangevinSimulation(
+        n_timesteps=25, filename="traj", output_dir=str(dir_b), **kwargs
+    )
+    sim_b1.attach_model_and_configurations(
+        harmonic_ff(4), chain_configs(2, 4), beta=1.0
+    )
+    sim_b1.simulate()
+
+    # The saved key has genuinely advanced past the seed-derived key.
+    ck = np.load(dir_b / "traj_checkpoint_0000.npz")
+    assert "rng_key" in ck
+    assert not np.array_equal(
+        ck["rng_key"], np.asarray(jax.random.PRNGKey(9))
+    )
+
+    sim_b2 = LangevinSimulation(
+        n_timesteps=50,
+        filename="traj",
+        output_dir=str(dir_b),
+        read_checkpoint_file=True,
+        **kwargs,
+    )
+    sim_b2.attach_model_and_configurations(
+        harmonic_ff(4), chain_configs(2, 4), beta=1.0
+    )
+    sim_b2.simulate()
+
+    # Segment 1 (pre-checkpoint) agrees trivially; segment 2 agrees ONLY
+    # if the resumed run continued the rng stream.
+    np.testing.assert_array_equal(
+        np.load(dir_a / "traj_coords_0000.npy"),
+        np.load(dir_b / "traj_coords_0000.npy"),
+    )
+    np.testing.assert_allclose(
+        np.load(dir_a / "traj_coords_0001.npy"),
+        np.load(dir_b / "traj_coords_0001.npy"),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    # and the resumed segment is NOT a noise replay of the first segment
+    # (the old-defect signature: identical displacement patterns).
+    c0 = np.load(dir_b / "traj_coords_0000.npy")
+    c1 = np.load(dir_b / "traj_coords_0001.npy")
+    assert not np.allclose(np.diff(c0, axis=1), np.diff(c1, axis=1))

@@ -255,3 +255,60 @@ def test_pt_with_schnet_pbc_amortized_list_end_to_end(tmp_path):
     np.testing.assert_allclose(
         np.asarray(f_carry), np.asarray(f_fresh), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pt_resume_matches_uninterrupted(tmp_path):
+    """PT resume continues the full stochastic+exchange state: a 200-step
+    run and a 100-step run resumed to 200 (same seed) produce identical
+    trajectories and identical cumulative exchange statistics — requires
+    the restored rng_key AND the carry__exchange_parity /
+    carry__n_exchange_* checkpoint fields (with 100 steps per export and
+    exchange_interval=20, each segment holds an ODD number of exchange
+    events, so a resume that restarted at even parity would diverge)."""
+    dir_a = tmp_path / "a"
+    dir_b = tmp_path / "b"
+    dir_a.mkdir()
+    dir_b.mkdir()
+    over = dict(create_checkpoints=True, exchange_interval=20)
+
+    sim_a = make_pt(dir_a, n_timesteps=200, **over)
+    sim_a.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(4, 6), BETAS
+    )
+    sim_a.simulate()
+
+    sim_b1 = make_pt(dir_b, n_timesteps=100, **over)
+    sim_b1.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(4, 6), BETAS
+    )
+    sim_b1.simulate()
+    assert int(sim_b1.final_carry["exchange_parity"]) == 1  # odd count
+
+    ck = np.load(dir_b / "pt_checkpoint_0000.npz")
+    assert int(ck["carry__exchange_parity"]) == 1
+    assert int(ck["carry__n_exchange_attempted"]) == 5 * 4
+
+    sim_b2 = make_pt(
+        dir_b, n_timesteps=200, read_checkpoint_file=True, **over
+    )
+    sim_b2.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(4, 6), BETAS
+    )
+    sim_b2.simulate()
+
+    np.testing.assert_allclose(
+        np.load(dir_a / "pt_coords_0001.npy"),
+        np.load(dir_b / "pt_coords_0001.npy"),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.load(dir_a / "pt_acceptance_0001.npy"),
+        np.load(dir_b / "pt_acceptance_0001.npy"),
+    )
+    assert int(sim_b2.final_carry["n_exchange_attempted"]) == int(
+        sim_a.final_carry["n_exchange_attempted"]
+    )
+    assert int(sim_b2.final_carry["n_exchange_approved"]) == int(
+        sim_a.final_carry["n_exchange_approved"]
+    )
