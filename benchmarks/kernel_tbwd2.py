@@ -260,12 +260,23 @@ ref_gpos, ref_gx = K.cheb_conv_bwd_pallas(
     d_min=D_MIN,
 )
 for defer in (True, False):
-    got_gpos, got_gx = tbwd2(pos[0], x[0], g[0], defer=defer)
-    for nm, a, b in [("gpos", ref_gpos, got_gpos), ("gx", ref_gx, got_gx)]:
-        err = float(
-            jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30)
-        )
-        print(f"tbwd2(defer={defer}) {nm}: max rel diff {err:.2e}")
+    for nt in (1, 2):
+        try:
+            got_gpos, got_gx = tbwd2(
+                pos[0], x[0], g[0], defer=defer, n_tiles=nt
+            )
+        except Exception as e:
+            print(f"tbwd2(defer={defer}, t={nt}): FAIL {str(e)[:120]}",
+                  flush=True)
+            continue
+        for nm, a, b in [
+            ("gpos", ref_gpos, got_gpos), ("gx", ref_gx, got_gx)
+        ]:
+            err = float(
+                jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(a)) + 1e-30)
+            )
+            print(f"tbwd2(defer={defer}, t={nt}) {nm}: "
+                  f"max rel diff {err:.2e}", flush=True)
 
 
 def bench(name, one):
@@ -294,20 +305,26 @@ bench("PROD gx+gd (48,64) n=8",
       lambda xx: K.cheb_conv_bwd_pallas(
           cgx, cgd, w0, pos[0], xx, g[0], RCUT, "bf16", need_gx=True,
           d_min=D_MIN)[1])
-bench("TBWD2 gx+gd defer",
-      lambda xx: tbwd2(pos[0], xx, g[0])[1])
-bench("TBWD2 gx+gd nodefer",
-      lambda xx: tbwd2(pos[0], xx, g[0], defer=False)[1])
+for nt in (1, 2):
+    bench(f"TBWD2 gx+gd defer t={nt}",
+          lambda xx, nt=nt: tbwd2(pos[0], xx, g[0], n_tiles=nt)[1])
+    bench(f"TBWD2 gx+gd nodefer t={nt}",
+          lambda xx, nt=nt: tbwd2(
+              pos[0], xx, g[0], defer=False, n_tiles=nt)[1])
 bench("PROD gd-only n=8",
       lambda xx: K.cheb_conv_bwd_pallas(
           cgx, cgd, w0, pos[0], xx, g[0], RCUT, "bf16", need_gx=False,
           d_min=D_MIN)[0].sum(axis=-1, keepdims=True) * jnp.zeros((1, F)))
-bench("TBWD2 gd-only defer",
-      lambda xx: tbwd2(pos[0], xx, g[0], need_gx=False)[0]
-      .sum(axis=-1, keepdims=True) * jnp.zeros((1, F)))
+for nt in (1, 2):
+    bench(f"TBWD2 gd-only defer t={nt}",
+          lambda xx, nt=nt: tbwd2(
+              pos[0], xx, g[0], need_gx=False, n_tiles=nt)[0]
+          .sum(axis=-1, keepdims=True) * jnp.zeros((1, F)))
 bench("PROD gx-only (stack path)",
       lambda xx: K.cheb_conv_bwd_pallas(
           cgx, cgd, w0, pos[0], xx, g[0], RCUT, "bf16", need_gx=True,
           need_gd=False, d_min=D_MIN)[1])
-bench("TBWD2 gx-only defer",
-      lambda xx: tbwd2(pos[0], xx, g[0], need_gd=False)[1])
+for nt in (1, 2):
+    bench(f"TBWD2 gx-only t={nt}",
+          lambda xx, nt=nt: tbwd2(
+              pos[0], xx, g[0], need_gd=False, n_tiles=nt)[1])

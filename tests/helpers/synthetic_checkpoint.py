@@ -136,6 +136,29 @@ def make_fake_reference_modules():
             self.register_buffer("x_0", x_0)
             self.register_buffer("k", k)
 
+    class GeneralBonds(nn.Module):
+        """Reference GeneralBonds (harmonic.py:393-414): a Harmonic with
+        distance features and a caller-chosen ``name`` (so several bond
+        priors can coexist under distinct SumOut keys)."""
+
+        def __init__(self, x_0, k, name):
+            super().__init__()
+            self.order = 2
+            self.name = name
+            self.register_buffer("x_0", x_0)
+            self.register_buffer("k", k)
+
+    class GeneralAngles(nn.Module):
+        """Reference GeneralAngles (harmonic.py:417-451): Harmonic on
+        cos-angle features, caller-chosen name, order 3."""
+
+        def __init__(self, x_0, k, name):
+            super().__init__()
+            self.order = 3
+            self.name = name
+            self.register_buffer("x_0", x_0)
+            self.register_buffer("k", k)
+
     class Repulsion(nn.Module):
         name = "repulsion"
 
@@ -228,6 +251,8 @@ def make_fake_reference_modules():
     _register(InteractionBlock, "flashmd.models.schnet")
     _register(SchNet, "flashmd.models.schnet")
     _register(HarmonicBonds, "flashmd.prior.harmonic")
+    _register(GeneralBonds, "flashmd.prior.harmonic")
+    _register(GeneralAngles, "flashmd.prior.harmonic")
     _register(Repulsion, "flashmd.prior.repulsion")
     _register(Dihedral, "flashmd.prior.fourier_series")
     _register(TypesMLP, "flashmd.models.mlp")
@@ -240,6 +265,8 @@ def make_fake_reference_modules():
     return dict(
         SchNet=SchNet,
         MLP=MLP,
+        GeneralBonds=GeneralBonds,
+        GeneralAngles=GeneralAngles,
         TypesMLP=TypesMLP,
         HarmonicBonds=HarmonicBonds,
         Repulsion=Repulsion,
@@ -306,6 +333,8 @@ def build_synthetic_checkpoint(
     output_network: str = "mlp",
     exc_pairs=None,
     extra_entries=None,
+    sparse_priors: bool = False,
+    general_priors: bool = False,
 ):
     """Write model_and_prior.pt + configurations.pt under ``tmp``.
 
@@ -325,6 +354,13 @@ def build_synthetic_checkpoint(
     * ``extra_entries``: dict of {name: fake-class-name} appended to the
       SumOut (e.g. {"mystery": "MysteryPrior"} for an unconvertible
       entry).
+    * ``sparse_priors``: save the Harmonic/Dihedral parameter buffers as
+      torch SPARSE tensors, mimicking a checkpoint written after the
+      reference's ``sparsify_prior_module`` (models/utils.py:6-22) —
+      the converter must densify them on ingestion.
+    * ``general_priors``: add GeneralBonds/GeneralAngles entries
+      (reference harmonic.py:393-451) under custom names ("cbonds" /
+      "cangles") with their own neighbor lists and f64 ground truths.
     """
     torch.manual_seed(0)
     classes = make_fake_reference_modules()
@@ -361,14 +397,42 @@ def build_synthetic_checkpoint(
         if entry_wrapper == "energy"
         else classes["GradientsOut"]
     )
+    # GeneralBonds/GeneralAngles under custom names (order 2 resp. 3).
+    gb_map = np.stack([np.arange(A - 3), np.arange(3, A)])
+    gb_x0 = torch.rand(N_TYPES, N_TYPES) + 1.0
+    gb_k = torch.rand(N_TYPES, N_TYPES) * 2
+    ga_map = np.stack(
+        [np.arange(A - 2), np.arange(1, A - 1), np.arange(2, A)]
+    )
+    ga_x0 = torch.rand(N_TYPES, N_TYPES, N_TYPES) - 0.5
+    ga_k = torch.rand(N_TYPES, N_TYPES, N_TYPES) * 2
+
     entries = {
         "SchNet": wrap(schnet),
         "bonds": wrap(classes["HarmonicBonds"](x_0, k)),
         "repulsion": wrap(classes["Repulsion"](sigma)),
         "dihedrals": wrap(classes["Dihedral"](k1s, k2s, v_0)),
     }
+    if general_priors:
+        entries["cbonds"] = wrap(
+            classes["GeneralBonds"](gb_x0, gb_k, "cbonds")
+        )
+        entries["cangles"] = wrap(
+            classes["GeneralAngles"](ga_x0, ga_k, "cangles")
+        )
     for name, cls_name in (extra_entries or {}).items():
         entries[name] = wrap(classes[cls_name]())
+    if sparse_priors:
+        # Mimic the reference's sparsify_prior_module
+        # (models/utils.py:6-22): buffers become torch sparse COO
+        # tensors IN the pickled module tree.
+        bonds_mod = entries["bonds"].model
+        bonds_mod.x_0 = bonds_mod.x_0.to_sparse()
+        bonds_mod.k = bonds_mod.k.to_sparse()
+        dih_mod = entries["dihedrals"].model
+        dih_mod.v_0 = dih_mod.v_0.to_sparse()
+        dih_mod.k1s = dih_mod.k1s.to_sparse()
+        dih_mod.k2s = dih_mod.k2s.to_sparse()
     model = classes["GradientsOut"](classes["SumOut"](entries))
     model_path = tmp / "model_and_prior.pt"
     torch.save(model, model_path)
@@ -393,6 +457,27 @@ def build_synthetic_checkpoint(
     ti, tj = types[rep_map[0]], types[rep_map[1]]
     drep = np.linalg.norm(pos[rep_map[1]] - pos[rep_map[0]], axis=-1)
     e_rep = float(np.sum((sigma.numpy()[ti, tj] / drep) ** 6))
+
+    # GeneralBonds: k (d - x0)^2 over the custom pair map; GeneralAngles:
+    # k (cos theta - x0)^2, central atom = mapping row 1 (reference
+    # compute_angles_cos, internal_coordinates.py:139-170).
+    ti, tj = types[gb_map[0]], types[gb_map[1]]
+    dgb = np.linalg.norm(pos[gb_map[1]] - pos[gb_map[0]], axis=-1)
+    e_gbonds = float(
+        np.sum(gb_k.numpy()[ti, tj] * (dgb - gb_x0.numpy()[ti, tj]) ** 2)
+    )
+    ti, tj, tk = types[ga_map[0]], types[ga_map[1]], types[ga_map[2]]
+    dr1 = pos[ga_map[0]] - pos[ga_map[1]]
+    dr2 = pos[ga_map[2]] - pos[ga_map[1]]
+    cosang = np.sum(dr1 * dr2, axis=-1) / (
+        np.linalg.norm(dr1, axis=-1) * np.linalg.norm(dr2, axis=-1)
+    )
+    e_gangles = float(
+        np.sum(
+            ga_k.numpy()[ti, tj, tk]
+            * (cosang - ga_x0.numpy()[ti, tj, tk]) ** 2
+        )
+    )
 
     # structure file
     nls = {
@@ -424,6 +509,25 @@ def build_synthetic_checkpoint(
             self_interaction=False,
         ),
     }
+    if general_priors:
+        nls["cbonds"] = dict(
+            tag="cbonds",
+            order=2,
+            index_mapping=torch.tensor(gb_map),
+            mapping_batch=torch.zeros(gb_map.shape[1], dtype=torch.long),
+            cell_shifts=None,
+            rcut=None,
+            self_interaction=False,
+        )
+        nls["cangles"] = dict(
+            tag="cangles",
+            order=3,
+            index_mapping=torch.tensor(ga_map),
+            mapping_batch=torch.zeros(ga_map.shape[1], dtype=torch.long),
+            cell_shifts=None,
+            rcut=None,
+            self_interaction=False,
+        )
     data_fields = dict(
         pos=torch.tensor(pos, dtype=torch.float32),
         atom_types=torch.tensor(types),
@@ -446,6 +550,8 @@ def build_synthetic_checkpoint(
         e_schnet=e_schnet,
         e_bonds=e_bonds,
         e_rep=e_rep,
+        e_gbonds=e_gbonds,
+        e_gangles=e_gangles,
         pos=pos,
         types=types,
         tmp=tmp,

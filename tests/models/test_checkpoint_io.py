@@ -325,3 +325,52 @@ def test_exc_pair_index_forces_gather_path(tmp_path):
     types = jnp.asarray(info["types"], dtype=jnp.int32)
     with pytest.raises(NotImplementedError, match="exc_pair_index"):
         compute_energy_forces(ff_cheb, pos, types)
+
+
+def test_sparse_prior_buffers_ingest(tmp_path):
+    """A checkpoint written after the reference's sparsify_prior_module
+    (models/utils.py:6-22) carries torch SPARSE COO buffers for the
+    Harmonic/Dihedral tables — the converter must densify them and
+    reproduce the same energies as the dense checkpoint."""
+    info = build_synthetic_checkpoint(tmp_path, sparse_priors=True)
+    ref = load_reference_checkpoint(info["model_path"])
+    configs = load_reference_configurations(info["structures_path"])
+    ff = build_forcefield(
+        ref, configs[0], dtype=jnp.float64, neighbor_capacity=A,
+        optimize=False,
+    )
+    pos = jnp.asarray(info["pos"], dtype=jnp.float64)[None]
+    types = jnp.asarray(info["types"], dtype=jnp.int32)
+    _, _, comps = compute_energy_forces(ff, pos, types)
+    np.testing.assert_allclose(
+        float(comps["bonds"][0]), info["e_bonds"], rtol=1e-9
+    )
+    # the dihedral tables also round-trip through sparse storage
+    assert np.isfinite(float(comps["dihedrals"][0]))
+
+
+def test_general_bonds_angles_ingest(tmp_path):
+    """GeneralBonds/GeneralAngles entries (reference harmonic.py:393-451,
+    custom-named Harmonic priors on distance resp. cos-angle features)
+    ingest under their SumOut names and reproduce independent f64 ground
+    truths."""
+    info = build_synthetic_checkpoint(tmp_path, general_priors=True)
+    ref = load_reference_checkpoint(info["model_path"])
+    kinds = {p.name: p.kind for p in ref.priors}
+    assert kinds["cbonds"] == "general_bonds"
+    assert kinds["cangles"] == "general_angles"
+    configs = load_reference_configurations(info["structures_path"])
+    ff = build_forcefield(
+        ref, configs[0], dtype=jnp.float64, neighbor_capacity=A,
+        optimize=False,
+    )
+    pos = jnp.asarray(info["pos"], dtype=jnp.float64)[None]
+    types = jnp.asarray(info["types"], dtype=jnp.int32)
+    _, forces, comps = compute_energy_forces(ff, pos, types)
+    np.testing.assert_allclose(
+        float(comps["cbonds"][0]), info["e_gbonds"], rtol=1e-9
+    )
+    np.testing.assert_allclose(
+        float(comps["cangles"][0]), info["e_gangles"], rtol=1e-9
+    )
+    assert np.all(np.isfinite(np.asarray(forces)))
