@@ -871,6 +871,7 @@ def _cheb_stack_bwd(rcut, precision, d_min, res, g_out):
     gpos, _ = cheb_conv_bwd_pallas(
         dummy_c, c2_cat, w0_cat, pos, x_cat, g_cat, rcut, precision,
         need_gx=False, need_gd=True, cell=cell, d_min=d_min,
+        stacked=True,
     )
     zero_fits = jax.tree_util.tree_map(jnp.zeros_like, fits)
     zero_lins = jax.tree_util.tree_map(jnp.zeros_like, lins)

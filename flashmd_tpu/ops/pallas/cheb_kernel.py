@@ -745,7 +745,8 @@ def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
 def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
                          need_gx=True, need_gd=True,
                          tile_budget: int | None = None,
-                         cell=None, d_min: float = 0.0):
+                         cell=None, d_min: float = 0.0,
+                         stacked: bool = False):
     """Backward kernel wrapper -> (gpos [A,3], gx [A,F]).
 
     ``c`` [M1, F] and ``c2`` [M2, F] may have DIFFERENT orders: the gx
@@ -757,6 +758,9 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
 
     ``need_gx=False`` specializes the kernel to the distance-gradient-only
     variant (gx returned as zeros) — the gx contraction never runs.
+    ``stacked=True`` marks block-stacked [A, B*F] operands (set by the
+    deferred fused-gd backward) — it scopes the F > 128 tile-budget
+    scaling to that case (regular wide models measured faster unscaled).
     ``need_gd=False`` specializes it the other way (gpos returned as
     zeros; the distance-gradient chain and position epilogue never run)
     — used by the deferred fused-gd backward (models/cheb.
@@ -820,10 +824,17 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
             # gd-only budget column applies (the gx contraction's rhs is
             # the same size as gd's).
             tile_budget = 52_000 if cell is not None else 75_000
-        if f > 128:
-            # Block-stacked fused-gd operands: the per-group rhs [n*TA,
-            # B*F] grows with F while the budgets above were validated
-            # at F=128 — scale the stack-critical tile down accordingly.
+        if stacked and f > 128:
+            # Block-stacked fused-gd operands only: the per-group rhs
+            # [n*TA, B*F] grows with F while the budgets above were
+            # validated at F=128 — scale the stack-critical tile down
+            # accordingly. Regular (per-block) models with
+            # hidden_channels > 128 keep the unscaled budgets: measured
+            # at F=256 (2026-08-19, v5e), the unscaled tiles both
+            # compile and run FASTER (gx+gd 53.9 vs 60.0 us/mol,
+            # gd-only 41.5 vs 43.7 — benchmarks noted in PERFORMANCE.md),
+            # so the heuristic is scoped to the fused case it was
+            # added for (ADVICE r3).
             tile_budget = max(tile_budget * 128 // f, 4_000)
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)

@@ -868,48 +868,55 @@ class Simulation:
         if tail_steps:
             segments.append((tail_steps // self.save_interval, tail_steps))
 
-        profiling = False
-        for seg_frames, seg_steps in segments:
-            parts = []
-            for n_f in split_frames(seg_frames):
-                # Profiler window at launch granularity (reference
-                # base.py:561-562, 634-636 used cudaProfilerStart/Stop;
-                # here jax.profiler captures an xplane trace).
-                if (
-                    self.profile_start_step is not None
-                    and not profiling
-                    and step >= self.profile_start_step
-                    and self.filename is not None
-                ):
-                    jax.profiler.start_trace(f"{self.filename}_trace")
-                    profiling = True
-                carry, frames = run_launch(carry, get_rollout(n_f), step)
-                step += n_f * self.save_interval
-                if (
-                    profiling
-                    and self.profile_end_step is not None
-                    and step >= self.profile_end_step
-                ):
-                    jax.block_until_ready(carry["pos"])
-                    jax.profiler.stop_trace()
-                    profiling = False
-                # Multi-host: non-fully-addressable frames are
-                # all-gathered so every process sees the full batch
-                # (guards) and the IO process writes complete
-                # trajectories. Fetch + guard per launch so divergence
-                # surfaces at launch latency, not export latency.
-                frames_np = fetch_to_host(frames)
-                self._check_divergence(frames_np, step)
-                parts.append(frames_np)
-                pbar.update(n_f * self.save_interval)
-            # Host-side subroutine hook at export-segment boundaries.
+        # Flat launch schedule: (n_frames, ends_a_segment).
+        launches = []
+        for seg_frames, _seg_steps in segments:
+            sizes = split_frames(seg_frames)
+            for j, n_f in enumerate(sizes):
+                launches.append((n_f, j == len(sizes) - 1))
+
+        # PIPELINED exports: dispatch launch k+1 (async under JAX's
+        # dispatch model) BEFORE fetching/guarding/writing launch k's
+        # frames, so host IO (npy export, checkpoints, guards) overlaps
+        # device compute instead of idling the chip between segments
+        # (the synchronous order measured ~10% of headline throughput —
+        # PERFORMANCE.md "End-to-end CLI check"). Exports read the
+        # segment-end carry from a SAVED REFERENCE (JAX arrays are
+        # immutable, so checkpoint/acceptance values are exact), and no
+        # export mutates the carry (PT's acceptance reset became a
+        # host-side delta, parallel_tempering._export_segment). A
+        # host-side sim_subroutine DOES mutate the carry between
+        # segments, so pipelining is disabled in that case.
+        pipeline = (
+            self.sim_subroutine is None or self._has_device_subroutine()
+        )
+        parts = []
+
+        def host_subroutine(carry, step_now):
             if (
                 self.sim_subroutine is not None
                 and self.sim_subroutine_interval is not None
                 and not self._has_device_subroutine()
-                and step % self.sim_subroutine_interval == 0
+                and step_now % self.sim_subroutine_interval == 0
             ):
-                carry = self.sim_subroutine(carry)
+                return self.sim_subroutine(carry)
+            return carry
+
+        def process(rec):
+            """Fetch + guard one launch; export at segment boundaries.
+
+            Multi-host: non-fully-addressable frames are all-gathered so
+            every process sees the full batch (guards) and the IO process
+            writes complete trajectories. Fetch + guard per launch so
+            divergence surfaces at launch latency, not export latency.
+            """
+            frames, rec_carry, step_end, n_f, seg_end = rec
+            frames_np = fetch_to_host(frames)
+            self._check_divergence(frames_np, step_end)
+            parts.append(frames_np)
+            pbar.update(n_f * self.save_interval)
+            if not seg_end:
+                return
             frames_np = (
                 parts[0]
                 if len(parts) == 1
@@ -917,9 +924,48 @@ class Simulation:
                     lambda *xs: np.concatenate(xs, axis=0), *parts
                 )
             )
-            self._export_segment(carry, frames_np, step)
+            parts.clear()
+            self._export_segment(rec_carry, frames_np, step_end)
             if self.log_interval is not None:
-                self.log(step // self.save_interval)
+                self.log(step_end // self.save_interval)
+
+        profiling = False
+        pending = None
+        for n_f, seg_end in launches:
+            # Profiler window at launch granularity (reference
+            # base.py:561-562, 634-636 used cudaProfilerStart/Stop;
+            # here jax.profiler captures an xplane trace).
+            if (
+                self.profile_start_step is not None
+                and not profiling
+                and step >= self.profile_start_step
+                and self.filename is not None
+            ):
+                jax.profiler.start_trace(f"{self.filename}_trace")
+                profiling = True
+            carry, frames = run_launch(carry, get_rollout(n_f), step)
+            step += n_f * self.save_interval
+            if (
+                profiling
+                and self.profile_end_step is not None
+                and step >= self.profile_end_step
+            ):
+                jax.block_until_ready(carry["pos"])
+                jax.profiler.stop_trace()
+                profiling = False
+            if pipeline:
+                if pending is not None:
+                    process(pending)
+                pending = (frames, carry, step, n_f, seg_end)
+            else:
+                # Host subroutine mutates the carry between segments;
+                # run it BEFORE the export so checkpoints capture the
+                # post-subroutine state (original synchronous order).
+                if seg_end:
+                    carry = host_subroutine(carry, step)
+                process((frames, carry, step, n_f, seg_end))
+        if pending is not None:
+            process(pending)
 
         jax.block_until_ready(carry["pos"])
         if profiling:

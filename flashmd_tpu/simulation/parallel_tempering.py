@@ -58,6 +58,9 @@ class PTSimulation(LangevinSimulation):
         kwargs.setdefault("sim_subroutine_interval", exchange_interval)
         super().__init__(friction=friction, **kwargs)
         self.exchange_interval = exchange_interval
+        # Cumulative acceptance matrix at the last export (host copy);
+        # per-export npys are deltas of the device-cumulative matrix.
+        self._acc_exported = None
 
     def _has_device_subroutine(self) -> bool:
         return True
@@ -148,6 +151,7 @@ class PTSimulation(LangevinSimulation):
 
     def _init_carry(self, system, key):
         carry = super()._init_carry(system, key)
+        self._acc_exported = None  # fresh run (or resume): deltas restart
         carry["exchange_parity"] = jnp.asarray(0, jnp.int32)
         carry["acceptance_matrix"] = jnp.zeros(
             (self.n_replicas, self.n_replicas), dtype=jnp.float32
@@ -160,10 +164,12 @@ class PTSimulation(LangevinSimulation):
         """PT state that must survive a resume: the even/odd exchange
         parity (so the alternation continues instead of restarting even)
         and the CUMULATIVE acceptance counters feeding summary(). The
-        per-export acceptance_matrix is deliberately NOT persisted:
-        checkpoints coincide with exports, where the matrix has just been
-        written to its own npy and reset — a resumed run correctly starts
-        the next export window at zero."""
+        acceptance_matrix is deliberately NOT persisted: per-export npys
+        are host-side deltas of the device-cumulative matrix
+        (_export_segment), and checkpoints coincide with exports — a
+        resumed run correctly restarts both the device matrix and the
+        delta baseline at zero, so subsequent per-export deltas are
+        unchanged."""
         return {
             "exchange_parity": carry["exchange_parity"],
             "n_exchange_approved": carry["n_exchange_approved"],
@@ -267,16 +273,21 @@ class PTSimulation(LangevinSimulation):
 
         key = self._get_numpy_count()
         super()._export_segment(carry, frames_np, step_end)
+        # Per-export acceptance matrices as HOST-SIDE DELTAS of the
+        # cumulative device matrix (same files/semantics as the
+        # reference's per-export npys, parallel_tempering.py:504-517).
+        # The carry is never mutated at export — that keeps the export
+        # loop free to pipeline the next device launch before this
+        # segment's files are written (simulation/base.simulate). f32
+        # counts stay exact integers up to 2^24 exchanges per replica
+        # pair — far beyond realistic runs.
+        acc = np.asarray(carry["acceptance_matrix"])
+        if self._acc_exported is None:
+            self._acc_exported = np.zeros_like(acc)
+        delta = acc - self._acc_exported
+        self._acc_exported = acc
         if self.filename is not None and is_io_process():
-            np.save(
-                f"{self.filename}_acceptance_{key}.npy",
-                np.asarray(carry["acceptance_matrix"]),
-            )
-        # Reset the per-export acceptance matrix (host-side, between
-        # compiled segments — no device sync added).
-        carry["acceptance_matrix"] = jnp.zeros_like(
-            carry["acceptance_matrix"]
-        )
+            np.save(f"{self.filename}_acceptance_{key}.npy", delta)
 
     def get_replica_info(self, replica_num: int = 0) -> Dict:
         """Inverse temperature + output indices of one replica
