@@ -147,9 +147,9 @@ def main():
         peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
         achieved = flops_per_mol_step * throughput
         result["kernel_gflops_per_mol_step"] = round(
-            flops_per_mol_step / 1e9, 2
+            flops_per_mol_step / 1e9, 4
         )
-        result["achieved_tflops"] = round(achieved / 1e12, 1)
+        result["achieved_tflops"] = round(achieved / 1e12, 2)
         result["mfu_vs_peak"] = round(achieved / (peak_tflops * 1e12), 3)
 
     # Corroboration: the same config through the PRODUCTION loop

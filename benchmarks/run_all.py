@@ -21,6 +21,21 @@ import jax
 import jax.numpy as jnp
 
 
+def mfu_fields(ff, n_atoms, throughput):
+    """Analytic kernel FLOPs + MFU (same math as bench.py)."""
+    cfg = ff.schnet_config
+    if cfg is None or cfg.message_passing != "cheb":
+        return {}
+    m1 = cfg.cheb_order
+    m2 = cfg.cheb_order_deriv or m1
+    b = cfg.num_interactions
+    flops = ((2 * b - 1) * m1 + b * m2) * 2 * n_atoms**2 * cfg.num_filters
+    return {
+        "achieved_tflops": round(flops * throughput / 1e12, 1),
+        "mfu_vs_peak": round(flops * throughput / 197e12, 3),
+    }
+
+
 def bench_sim(sim_cls, ff, configs, betas, n_steps, chunk, **kwargs):
     sim = sim_cls(
         dt=0.004,
@@ -84,6 +99,7 @@ def _cfg_headline(n_steps, chunk):
         "config": "batch128_bf16_headline",
         "throughput": round(tp, 1),
         "vs_baseline": round(tp / 2861.0, 3),
+        **mfu_fields(ff, 266, tp),
     }
 
 
@@ -119,7 +135,11 @@ def _cfg_large(n_steps, chunk):
         cheb_order=64, cheb_order_deriv=64, cheb_d_min=2.0,
     )
     tp = bench_sim(LangevinSimulation, ff, cfgs, 1.67, n_steps, chunk)
-    return {"config": "large_protein_A532_batch32", "throughput": round(tp, 1)}
+    return {
+        "config": "large_protein_A532_batch32",
+        "throughput": round(tp, 1),
+        **mfu_fields(ff, 532, tp),
+    }
 
 
 def _cfg_sharded(n_steps, chunk):
