@@ -682,6 +682,71 @@ def _cell_operands(cell):
     return [spec, spec], [cell, _inv_3x3(cell)]
 
 
+def _bwd_tile_budget(n_chains, need_gx, need_gd, has_cell, precision,
+                     order_gx, stacked, f):
+    """Default TA*A_pad tile budget for the backward kernel variants.
+
+    Every number is MEASURED on v5e against the 16 MB scoped-VMEM stack
+    (largest budget that both compiles and times fastest); the corners
+    are pinned by tests/ops/test_cheb_kernel.py so a future edit cannot
+    silently drop a validated cell of the table.
+
+    Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q, two
+    chain carries) + two temporaries — vs the forward's 3. At n=4: 74k
+    (= the validated 272x272 single-tile size at A=266) is the largest
+    tile at which the 8-group unrolled body fits: 101.5k tiles (A=532 at
+    the old 100k budget) overflow by 3.7 MB. The min-image branch
+    recomputes rel0/rel1/rel2 + three W⊙rel products after the order
+    loop, which costs extra stack (74k overflows by 108 KB at order 96)
+    — shave the budget accordingly. At n=8 the stacked buffers are 2x
+    per TA row: gx halves to 37k; the gd-only kernel (no us buffer live
+    across the loop, no gx temporaries) fits 75k — both measured fastest
+    AND compiling at A=266/532 (benchmarks/kernel_nchains.py).
+    """
+    if n_chains == 8:
+        if has_cell:
+            tile_budget = 32_000 if need_gx else 52_000
+        else:
+            tile_budget = 37_000 if need_gx else 75_000
+    else:
+        if has_cell:
+            tile_budget = 64_000 if need_gx else 104_000
+        else:
+            tile_budget = 74_000 if need_gx else 120_000
+    if not need_gd:
+        # gx-only (the stack path's upstream chainer): no um/prod
+        # temporaries live across the loop — the gd-only budget column
+        # applies at the headline order. But the 75k budget was
+        # validated at order_gx = 56 (M1 = 48); once the order loop
+        # needs a fori_loop segment (> 9 groups, i.e. order_gx > 72)
+        # Mosaic keeps more state live and 75k OOMs the scoped stack by
+        # ~1.2 MB (first seen when the round-3 stack default met a
+        # symmetric-96 config). Budgets MEASURED on v5e (2026-08-19,
+        # benchmarks/kernel_gxonly_budget.py): 56k both compiles AND
+        # times fastest at 104/136 rows (bf16 43/50 us/mol; fp32 117 at
+        # 56k vs 148 at a compiling 75k); the bf16x3 operand splits keep
+        # extra live buffers and need 48k even at the tier-default order
+        # (75k OOMs at 72 rows).
+        if precision == "bf16x3":
+            tile_budget = 40_000 if has_cell else 48_000
+        elif order_gx > 72:
+            tile_budget = 52_000 if has_cell else 56_000
+        else:
+            tile_budget = 52_000 if has_cell else 75_000
+    if stacked and f > 128:
+        # Block-stacked fused-gd operands only: the per-group rhs
+        # [n*TA, B*F] grows with F while the budgets above were
+        # validated at F=128 — scale the stack-critical tile down
+        # accordingly. Regular (per-block) models with hidden_channels
+        # > 128 keep the unscaled budgets: measured at F=256
+        # (2026-08-19, v5e), the unscaled tiles both compile and run
+        # FASTER (gx+gd 53.9 vs 60.0 us/mol, gd-only 41.5 vs 43.7 —
+        # benchmarks/kernel_f256_budget.py), so the heuristic is scoped
+        # to the fused case it was added for (ADVICE r3).
+        tile_budget = max(tile_budget * 128 // f, 4_000)
+    return tile_budget
+
+
 def cheb_conv_fwd_pallas(c, w0, pos, x, rcut, precision,
                          tile_budget: int = 150_000, cell=None,
                          d_min: float = 0.0, w_lin=None):
@@ -796,46 +861,10 @@ def cheb_conv_bwd_pallas(c, c2, w0, pos, x, g, rcut, precision,
     order_gx = c.shape[0]
     a_pad = _round_up(a, 8)
     if tile_budget is None:
-        # Single-chain backward: 4 stacked [n*TA, A_pad] buffers (u, q,
-        # two chain carries) + two temporaries — vs the forward's 3.
-        # At n=4: 74k (= the validated 272x272 single-tile size at
-        # A=266) is the largest TA*A_pad at which the 8-group unrolled
-        # body fits the 16 MB scoped-VMEM stack: 101.5k tiles (A=532 at
-        # the old 100k budget) overflow by 3.7 MB. The min-image branch
-        # recomputes rel0/rel1/rel2 + three W⊙rel products after the
-        # order loop, which costs extra stack (74k overflows by 108 KB
-        # at order 96) — shave the budget accordingly.
-        # At n=8 the stacked buffers are 2x per TA row: gx halves to
-        # 37k; the gd-only kernel (no us buffer live across the loop,
-        # no gx temporaries) fits 75k — both measured fastest AND
-        # compiling at A=266/532 (benchmarks/kernel_nchains.py).
-        if n_chains == 8:
-            if cell is not None:
-                tile_budget = 32_000 if need_gx else 52_000
-            else:
-                tile_budget = 37_000 if need_gx else 75_000
-        else:
-            if cell is not None:
-                tile_budget = 64_000 if need_gx else 104_000
-            else:
-                tile_budget = 74_000 if need_gx else 120_000
-        if not need_gd:
-            # gx-only: no um/prod temporaries live across the loop — the
-            # gd-only budget column applies (the gx contraction's rhs is
-            # the same size as gd's).
-            tile_budget = 52_000 if cell is not None else 75_000
-        if stacked and f > 128:
-            # Block-stacked fused-gd operands only: the per-group rhs
-            # [n*TA, B*F] grows with F while the budgets above were
-            # validated at F=128 — scale the stack-critical tile down
-            # accordingly. Regular (per-block) models with
-            # hidden_channels > 128 keep the unscaled budgets: measured
-            # at F=256 (2026-08-19, v5e), the unscaled tiles both
-            # compile and run FASTER (gx+gd 53.9 vs 60.0 us/mol,
-            # gd-only 41.5 vs 43.7 — benchmarks noted in PERFORMANCE.md),
-            # so the heuristic is scoped to the fused case it was
-            # added for (ADVICE r3).
-            tile_budget = max(tile_budget * 128 // f, 4_000)
+        tile_budget = _bwd_tile_budget(
+            n_chains, need_gx, need_gd, cell is not None, precision,
+            order_gx, stacked, f,
+        )
     ta = _tile_atoms(a_pad, tile_budget)
     a_pad = _round_up(a_pad, ta)
     n_tiles = a_pad // ta

@@ -643,3 +643,42 @@ def test_bwd_kernel_matches_autodiff(fit):
     )
     scale = np.max(np.abs(np.asarray(gpos_ad))) + 1e-8
     assert np.max(np.abs(np.asarray(gpos_k - gpos_ad))) / scale < 2e-2
+
+
+def test_bwd_tile_budget_table():
+    """Pin the MEASURED default tile-budget table (v5e, 16 MB scoped-VMEM
+    stack; benchmarks/kernel_nchains.py, kernel_gxonly_budget.py,
+    kernel_f256_budget.py). Every cell is the largest budget that both
+    compiles and times fastest on hardware — an edit that changes a cell
+    without re-measuring must fail here first. In particular the gx-only
+    column is ORDER-dependent (75k OOMs from 88 That rows up) and
+    precision-dependent (bf16x3 splits OOM 75k at even 72 rows)."""
+    from flashmd_tpu.ops.pallas.cheb_kernel import _bwd_tile_budget
+
+    def b(n=8, gx=True, gd=True, cell=False, prec="bf16", order_gx=56,
+          stacked=False, f=128):
+        return _bwd_tile_budget(n, gx, gd, cell, prec, order_gx,
+                                stacked, f)
+
+    # combined gx+gd kernel (the per-block FLASHMD_CHEB_STACK=0 path)
+    assert b(n=8) == 37_000 and b(n=8, cell=True) == 32_000
+    assert b(n=4) == 74_000 and b(n=4, cell=True) == 64_000
+    # gd-only (the block-stacked fused-gd call)
+    assert b(gx=False) == 75_000 and b(gx=False, cell=True) == 52_000
+    assert b(n=4, gx=False) == 120_000
+    assert b(n=4, gx=False, cell=True) == 104_000
+    # gx-only (the stack path's per-block upstream chainer): order- and
+    # precision-dependent — the headline (48 -> 56 That rows) keeps 75k,
+    # 72 rows is the last safe 75k point, 88+ drops to 56k
+    assert b(gd=False, order_gx=56) == 75_000
+    assert b(gd=False, order_gx=72) == 75_000
+    assert b(gd=False, order_gx=88) == 56_000
+    assert b(gd=False, order_gx=136) == 56_000
+    assert b(gd=False, order_gx=88, cell=True) == 52_000
+    assert b(gd=False, order_gx=56, cell=True) == 52_000
+    assert b(gd=False, prec="bf16x3", order_gx=72) == 48_000
+    assert b(gd=False, prec="bf16x3", order_gx=72, cell=True) == 40_000
+    # F > 128 scaling is scoped to block-stacked operands (ADVICE r3)
+    assert b(gx=False, stacked=True, f=384) == 75_000 * 128 // 384
+    assert b(gx=False, stacked=False, f=384) == 75_000
+    assert b(n=4, f=256) == 74_000
