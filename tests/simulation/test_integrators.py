@@ -280,6 +280,56 @@ def test_langevin_deterministic_same_seed():
     np.testing.assert_array_equal(a, b)
 
 
+def test_pipelined_exports_match_synchronous(tmp_path):
+    """The pipelined export loop (dispatch launch k+1 before fetching /
+    guarding / writing launch k's frames — the default) must produce
+    bit-identical trajectories, npy exports, and checkpoints to the
+    synchronous ordering. A no-op HOST sim_subroutine forces the
+    synchronous path (simulate() disables pipelining when a host
+    subroutine may mutate the carry between segments) without changing
+    the physics, giving a true A/B of the two orderings."""
+
+    def run(tag, force_synchronous):
+        out = tmp_path / tag
+        out.mkdir()
+        kwargs = {}
+        if force_synchronous:
+            kwargs.update(
+                sim_subroutine=lambda carry: carry,
+                sim_subroutine_interval=20,
+            )
+        sim = LangevinSimulation(
+            friction=1.0, dt=1e-3, n_timesteps=60, save_interval=5,
+            export_interval=20, filename="t", output_dir=str(out),
+            save_forces=True, save_energies=True,
+            create_checkpoints=True, random_seed=11, **kwargs,
+        )
+        sim.attach_model_and_configurations(
+            harmonic_ff(4), chain_configs(2, 4), beta=1.0
+        )
+        sim.simulate()
+        return out, np.concatenate(sim.simulated_coords, axis=0)
+
+    out1, coords1 = run("pipelined", False)
+    out0, coords0 = run("synchronous", True)
+    np.testing.assert_array_equal(coords1, coords0)
+    names1 = sorted(p.name for p in out1.iterdir())
+    assert names1 == sorted(p.name for p in out0.iterdir())
+    assert any(n.endswith(".npy") for n in names1)
+    assert any(n.endswith(".npz") for n in names1)
+    for name in names1:
+        if name.endswith(".npy"):
+            np.testing.assert_array_equal(
+                np.load(out1 / name), np.load(out0 / name)
+            )
+        elif name.endswith(".npz"):
+            a = np.load(out1 / name)
+            b = np.load(out0 / name)
+            assert sorted(a.files) == sorted(b.files)
+            for key in a.files:
+                np.testing.assert_array_equal(a[key], b[key])
+
+
 def test_launch_cap_preserves_trajectory():
     """max_steps_per_launch bounds the device-program length without
     changing results: the scan semantics are identical, only the launch
