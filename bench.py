@@ -25,6 +25,34 @@ import time
 BASELINE = 2861.0  # timestep*mol/s, reference README.md:81
 
 
+def mfu_fields(cfg, n_atoms: int, throughput: float) -> dict:
+    """Analytic kernel FLOPs + MFU for a cheb-path SchNet config.
+
+    Each of B blocks runs M1 forward order-matmuls [A,A]@[A,F]; the
+    backward runs M1 gx chains per block except block 0 (pos-independent
+    embedding input) and M2 gd chains per block — (2B-1)*M1 + B*M2
+    order-matmuls of 2*A^2*F. Logical (unpadded A) and kernel-only:
+    lins/output-MLP/priors are <2% of the step (PERFORMANCE.md). Peak:
+    v5e bf16 ~197 TFLOP/s; override with BENCH_PEAK_TFLOPS for other
+    chips. Shared by bench.py and benchmarks/run_all.py so the formula
+    can never diverge between the two artifacts.
+    """
+    if cfg is None or cfg.message_passing != "cheb":
+        return {}
+    m1 = cfg.cheb_order
+    m2 = cfg.cheb_order_deriv or m1
+    b = cfg.num_interactions
+    order_matmuls = (2 * b - 1) * m1 + b * m2
+    flops_per_mol_step = order_matmuls * 2 * n_atoms**2 * cfg.num_filters
+    peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    achieved = flops_per_mol_step * throughput
+    return {
+        "kernel_gflops_per_mol_step": round(flops_per_mol_step / 1e9, 4),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "mfu_vs_peak": round(achieved / (peak_tflops * 1e12), 3),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -126,31 +154,8 @@ def main():
 
     # FLOP / MFU accounting (normalizes comparisons across chip
     # generations; the reference quotes throughput only —
-    # reference README.md:76-81). Analytic KERNEL FLOPs per
-    # molecule-step of the cheb path: each of B blocks runs M1 forward
-    # order-matmuls [A,A]@[A,F]; the backward runs M1 gx chains per
-    # block except block 0 (pos-independent embedding input) and M2 gd
-    # chains per block (block-stacked into one kernel, same FLOPs) —
-    # (2B-1)*M1 + B*M2 order-matmuls of 2*A^2*F. Logical (unpadded A)
-    # and kernel-only: lins/output-MLP/priors are <2% of the step
-    # (PERFORMANCE.md). Peak: v5e bf16 ~197 TFLOP/s (override with
-    # BENCH_PEAK_TFLOPS for other chips).
-    cfg = ff.schnet_config
-    if cfg is not None and cfg.message_passing == "cheb":
-        m1 = cfg.cheb_order
-        m2 = cfg.cheb_order_deriv or m1
-        b = cfg.num_interactions
-        order_matmuls = (2 * b - 1) * m1 + b * m2
-        flops_per_mol_step = order_matmuls * 2 * n_atoms**2 * (
-            cfg.num_filters
-        )
-        peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
-        achieved = flops_per_mol_step * throughput
-        result["kernel_gflops_per_mol_step"] = round(
-            flops_per_mol_step / 1e9, 4
-        )
-        result["achieved_tflops"] = round(achieved / 1e12, 2)
-        result["mfu_vs_peak"] = round(achieved / (peak_tflops * 1e12), 3)
+    # reference README.md:76-81). Formula in mfu_fields above.
+    result.update(mfu_fields(ff.schnet_config, n_atoms, throughput))
 
     # Corroboration: the same config through the PRODUCTION loop
     # (sim.simulate() with real npy/checkpoint file IO and the pair-floor

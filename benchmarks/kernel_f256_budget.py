@@ -2,7 +2,18 @@
 per-block backward at hidden=256 need the 128/f budget scaling?
 Measured 2026-08-19 (v5e): unscaled budgets COMPILE and run FASTER
 (gx+gd 53.87 vs 59.99 us/mol; gd-only 41.51 vs 43.68) -> the scaling is
-scoped to the block-stacked fused-gd case (stacked=True) only."""
+scoped to the block-stacked fused-gd case (stacked=True) only.
+
+(The scaled arms pass their budgets EXPLICITLY: at measurement time the
+default budget resolved to the scaled value; after the scoping change
+the default IS the unscaled budget, so `None` would compare identical
+arms.)"""
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
 import jax, jax.numpy as jnp, numpy as np
 import flashmd_tpu.ops.pallas.cheb_kernel as K
 
@@ -37,7 +48,7 @@ def bench(name, tb, need_gx=True):
     print(f"{name:34s}: {sorted(ts)[1]:7.2f} us/mol", flush=True)
 
 # gx+gd n=8 default budget at F=128 is 37k; scaled = 37k*128/256 = 18.5k
-bench("F=256 gx+gd scaled (18.5k, today)", None)
+bench("F=256 gx+gd scaled 18.5k", 18_500)
 bench("F=256 gx+gd unscaled 37k", 37_000)
-bench("F=256 gd-only scaled (37.5k)", None, need_gx=False)
+bench("F=256 gd-only scaled 37.5k", 37_500, need_gx=False)
 bench("F=256 gd-only unscaled 75k", 75_000, need_gx=False)

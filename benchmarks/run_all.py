@@ -15,25 +15,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 import jax.numpy as jnp
 
+from bench import mfu_fields as _mfu_fields
+
 
 def mfu_fields(ff, n_atoms, throughput):
-    """Analytic kernel FLOPs + MFU (same math as bench.py)."""
-    cfg = ff.schnet_config
-    if cfg is None or cfg.message_passing != "cheb":
-        return {}
-    m1 = cfg.cheb_order
-    m2 = cfg.cheb_order_deriv or m1
-    b = cfg.num_interactions
-    flops = ((2 * b - 1) * m1 + b * m2) * 2 * n_atoms**2 * cfg.num_filters
-    return {
-        "achieved_tflops": round(flops * throughput / 1e12, 1),
-        "mfu_vs_peak": round(flops * throughput / 197e12, 3),
-    }
+    """Analytic kernel FLOPs + MFU — bench.py's own function (one
+    formula, one BENCH_PEAK_TFLOPS knob, shared by both artifacts)."""
+    return _mfu_fields(ff.schnet_config, n_atoms, throughput)
 
 
 def bench_sim(sim_cls, ff, configs, betas, n_steps, chunk, **kwargs):

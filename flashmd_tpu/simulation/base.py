@@ -879,17 +879,24 @@ class Simulation:
         # dispatch model) BEFORE fetching/guarding/writing launch k's
         # frames, so host IO (npy export, checkpoints, guards) overlaps
         # device compute instead of idling the chip between segments
-        # (the synchronous order measured ~10% of headline throughput —
-        # PERFORMANCE.md "End-to-end CLI check"). Exports read the
-        # segment-end carry from a SAVED REFERENCE (JAX arrays are
-        # immutable, so checkpoint/acceptance values are exact), and no
-        # export mutates the carry (PT's acceptance reset became a
-        # host-side delta, parallel_tempering._export_segment). A
-        # host-side sim_subroutine DOES mutate the carry between
-        # segments, so pipelining is disabled in that case.
+        # (measured NEUTRAL at the headline config through the tunnel —
+        # exports there are ~1.6 MB — but it bounds the worst case for
+        # heavy exports; PERFORMANCE.md "End-to-end CLI check" honesty
+        # update; equality-tested vs the synchronous order). Exports
+        # read the segment-end carry from a SAVED REFERENCE (JAX arrays
+        # are immutable, so checkpoint/acceptance values are exact), and
+        # no export mutates the carry (PT's acceptance reset became a
+        # host-side delta, parallel_tempering._export_segment). Any
+        # host hook that RECEIVES the carry could mutate it between
+        # segments — a mutation pipelining would silently discard, since
+        # the next launch is already dispatched — so the synchronous
+        # order is kept whenever a host sim_subroutine OR a
+        # save_subroutine is installed. Subclass _export_segment /
+        # _write_extra_frames overrides must treat the carry as a
+        # read-only snapshot (as PTSimulation does).
         pipeline = (
             self.sim_subroutine is None or self._has_device_subroutine()
-        )
+        ) and self.save_subroutine is None
         parts = []
 
         def host_subroutine(carry, step_now):
@@ -1066,6 +1073,14 @@ class Simulation:
         return f"{self._npy_file_index:04d}"
 
     def _export_segment(self, carry, frames_np: Dict, step_end: int):
+        """Write one export segment's outputs.
+
+        Contract for overrides: ``carry`` is a READ-ONLY snapshot. Under
+        the pipelined export loop the next launch is already dispatched
+        when this runs, so mutating the dict cannot reach the device
+        stream — keep per-export state host-side instead (see
+        PTSimulation's acceptance-delta bookkeeping).
+        """
         coords = frames_np["pos"]  # [n_frames, S, A, 3]
         self.simulated_coords.append(coords)
         if self.save_forces:

@@ -330,6 +330,43 @@ def test_pipelined_exports_match_synchronous(tmp_path):
                 np.testing.assert_array_equal(a[key], b[key])
 
 
+def test_save_subroutine_called_and_mutation_propagates(tmp_path):
+    """save_subroutine(carry, n) runs at each export with the live carry,
+    and a carry mutation it makes reaches subsequent launches — which
+    requires the synchronous export ordering (simulate() disables
+    pipelining when the hook is installed; under the pipelined order the
+    next launch would already be dispatched and the mutation silently
+    lost)."""
+    calls = []
+
+    def freeze(carry, n):
+        calls.append(n)
+        carry["vel"] = jnp.zeros_like(carry["vel"])
+        carry["pos"] = jnp.zeros_like(carry["pos"])
+
+    def run(hook):
+        out = tmp_path / ("hook" if hook else "nohook")
+        out.mkdir()
+        sim = LangevinSimulation(
+            friction=1.0, dt=1e-3, n_timesteps=40, save_interval=5,
+            export_interval=20, filename="t", output_dir=str(out),
+            random_seed=7, save_subroutine=freeze if hook else None,
+        )
+        sim.attach_model_and_configurations(
+            harmonic_ff(3), chain_configs(2, 3), beta=1.0
+        )
+        sim.simulate()
+        return np.concatenate(sim.simulated_coords, axis=0)
+
+    base = run(hook=False)
+    calls.clear()
+    mutated = run(hook=True)
+    assert calls == [4, 8]  # one call per export, n = frame count
+    # segment 1 identical; segment 2 restarts from the zeroed state
+    np.testing.assert_array_equal(mutated[:4], base[:4])
+    assert not np.allclose(mutated[4:], base[4:])
+
+
 def test_launch_cap_preserves_trajectory():
     """max_steps_per_launch bounds the device-program length without
     changing results: the scan semantics are identical, only the launch
