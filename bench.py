@@ -57,6 +57,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent XLA compile cache: repeat runs of the bench protocol
+    # skip the multi-minute TPU compile (FLASHMD_TPU_COMPILATION_CACHE=0
+    # opts out; first-ever run still compiles from scratch).
+    from flashmd_tpu.simulation.scripts import _enable_compilation_cache
+
+    _enable_compilation_cache()
+
     from flashmd_tpu.data.system import collate
     from flashmd_tpu.models.zoo import cgschnet_1enh_like
     from flashmd_tpu.simulation.langevin import LangevinSimulation

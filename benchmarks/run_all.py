@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 
 from bench import mfu_fields as _mfu_fields
+from flashmd_tpu.simulation.scripts import _enable_compilation_cache
+
+_enable_compilation_cache()
 
 
 def mfu_fields(ff, n_atoms, throughput):
