@@ -41,6 +41,7 @@ _PRIOR_MODULES = [
 
 _cache = {}
 _prior_cache = {}
+_schnet_cache = {}
 
 
 def reference_available() -> bool:
@@ -80,6 +81,199 @@ def _scatter_stub(src, index, dim=0, reduce="sum", dim_size=None):
     out = torch.zeros((n,) + src.shape[1:], dtype=src.dtype)
     out.index_add_(0, index, src)
     return out
+
+
+class RefAtomicData:
+    """Duck-typed stand-in for the reference AtomicData (a PyG ``Data``).
+
+    The reference model stack only *reads attributes* off the data object
+    (pos / atom_types / batch / ptr / neighbor_list / out) plus the two
+    dunder protocols PyG Data provides that plain objects lack:
+    ``"batch" in data`` (neighbor_list/neighbor_list.py:44) and
+    ``data.get("exc_pair_index")`` (schnet.py:241)."""
+
+    def __contains__(self, key):
+        return getattr(self, key, None) is not None
+
+    def get(self, key, default=None):
+        return getattr(self, key, default)
+
+
+class _NvtxAnnotate:
+    """nvtx.annotate shim: works as decorator and as context manager."""
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __call__(self, fn):
+        return fn
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+def _torch_neighbor_list_stub(
+    data, rcut, self_interaction=False, num_workers=1, max_num_neighbors=1000
+):
+    """Pure-torch replacement for the reference's torch_cluster-backed
+    ``torch_neighbor_list`` (neighbor_list/torch_impl.py:26-60) — the ONE
+    native external the reference model stack depends on. Brute-force
+    O(A^2) radius search, no PBC, both edge directions, strict ``< rcut``.
+    Returns the reference 4-tuple (idx_i, idx_j, cell_shifts, self_mask)."""
+    import torch
+
+    pos = data.pos
+    n = pos.shape[0]
+    batch = getattr(data, "batch", None)
+    if batch is None:
+        batch = torch.zeros(n, dtype=torch.long)
+    d = torch.cdist(pos.detach().double(), pos.detach().double())
+    mask = (d < rcut) & (batch.unsqueeze(0) == batch.unsqueeze(1))
+    if not self_interaction:
+        mask &= ~torch.eye(n, dtype=torch.bool)
+    idx_i, idx_j = torch.nonzero(mask, as_tuple=True)
+    cell_shifts = torch.zeros((idx_i.shape[0], 3), dtype=pos.dtype)
+    return idx_i, idx_j, cell_shifts, idx_i == idx_j
+
+
+def _ensure_torch_geometric():
+    """Register the minimal torch_geometric surface the reference model
+    stack imports: ``nn.MessagePassing`` (add-aggregation ``propagate``,
+    the eager CFConv path at schnet.py:706-715) and ``utils.scatter``."""
+    import torch
+
+    if "torch_geometric" not in sys.modules:
+        tg = types.ModuleType("torch_geometric")
+        tg_utils = types.ModuleType("torch_geometric.utils")
+        tg_utils.scatter = _scatter_stub
+        tg.utils = tg_utils
+        sys.modules["torch_geometric"] = tg
+        sys.modules["torch_geometric.utils"] = tg_utils
+    if "torch_geometric.nn" not in sys.modules:
+
+        class MessagePassing(torch.nn.Module):
+            """PyG MessagePassing shim, flow="source_to_target" (the PyG
+            default): edge_index rows are (source j, target i); propagate
+            gathers x_j = x[edge_index[0]], applies self.message, and
+            index_adds into edge_index[1]."""
+
+            def __init__(self, aggr="add", **kwargs):
+                super().__init__()
+                if aggr != "add":
+                    raise NotImplementedError(
+                        f"MessagePassing shim supports aggr='add' only "
+                        f"(got {aggr!r})"
+                    )
+                self.aggr = aggr
+
+            def propagate(self, edge_index, x=None, size=None, **kwargs):
+                src, dst = edge_index[0], edge_index[1]
+                msg = self.message(x_j=x[src], **kwargs)
+                n = x.shape[0] if size is None else size[1]
+                out = torch.zeros(
+                    (n,) + msg.shape[1:], dtype=msg.dtype, device=msg.device
+                )
+                out.index_add_(0, dst, msg)
+                return out
+
+            def message(self, x_j, **kwargs):  # overridden by CFConv
+                return x_j
+
+        tg_nn = types.ModuleType("torch_geometric.nn")
+        tg_nn.MessagePassing = MessagePassing
+        sys.modules["torch_geometric.nn"] = tg_nn
+        sys.modules["torch_geometric"].nn = tg_nn
+
+
+def load_reference_schnet():
+    """Load the reference's COMPOSED model stack — models/schnet.py
+    (SchNet / InteractionBlock / CFConv / StandardSchNet, the eager paths)
+    and models/gradients.py (GradientsOut / SumOut / EnergyOut) — executed
+    from /root/reference/src with shims ONLY for its external deps:
+
+    * nvtx                      -> no-op annotate
+    * torch_geometric           -> MessagePassing(add) + scatter shims
+    * torch_cluster             -> brute-force torch radius search
+      (neighbor_list/torch_impl.py is the wrapper around it; the real
+      neighbor_list/neighbor_list.py executes on top of the stub)
+    * flashmd.kernels (Triton)  -> absent => TRITON_AVAILABLE=False, so
+      every forward takes the reference's own eager torch path
+
+    Returns {short_name: module} including "models.schnet" and
+    "models.gradients"."""
+    if _schnet_cache:
+        return _schnet_cache
+    load_reference_modules()
+    _ensure_torch_geometric()
+
+    if "nvtx" not in sys.modules:
+        nvtx = types.ModuleType("nvtx")
+        nvtx.annotate = _NvtxAnnotate
+        sys.modules["nvtx"] = nvtx
+
+    # refmd.data package: real _keys.py + duck-typed AtomicData
+    if "refmd.data" not in sys.modules:
+        data_pkg = types.ModuleType("refmd.data")
+        data_pkg.__path__ = []
+        sys.modules["refmd.data"] = data_pkg
+    keys_name = "refmd.data._keys"
+    if keys_name not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            keys_name, os.path.join(REF_ROOT, "data/_keys.py")
+        )
+        keys_mod = importlib.util.module_from_spec(spec)
+        sys.modules[keys_name] = keys_mod
+        spec.loader.exec_module(keys_mod)
+    keys_mod = sys.modules[keys_name]
+    ad_name = "refmd.data.atomic_data"
+    if ad_name not in sys.modules:
+        atomic_data = types.ModuleType(ad_name)
+        atomic_data.AtomicData = RefAtomicData
+        atomic_data.ENERGY_KEY = keys_mod.ENERGY_KEY
+        sys.modules[ad_name] = atomic_data
+        sys.modules["refmd.data"].AtomicData = RefAtomicData
+    else:
+        # the prior loader may have registered a bare AtomicData stub;
+        # upgrade it so both stacks share one class
+        sys.modules[ad_name].AtomicData = RefAtomicData
+        sys.modules[ad_name].ENERGY_KEY = keys_mod.ENERGY_KEY
+        sys.modules["refmd.data"].AtomicData = RefAtomicData
+
+    # refmd.neighbor_list: stub torch_impl, real neighbor_list.py
+    if "refmd.neighbor_list" not in sys.modules:
+        nl_pkg = types.ModuleType("refmd.neighbor_list")
+        nl_pkg.__path__ = []
+        sys.modules["refmd.neighbor_list"] = nl_pkg
+    ti_name = "refmd.neighbor_list.torch_impl"
+    if ti_name not in sys.modules:
+        ti = types.ModuleType(ti_name)
+        ti.torch_neighbor_list = _torch_neighbor_list_stub
+        sys.modules[ti_name] = ti
+    nl_name = "refmd.neighbor_list.neighbor_list"
+    if nl_name not in sys.modules:
+        spec = importlib.util.spec_from_file_location(
+            nl_name, os.path.join(REF_ROOT, "neighbor_list/neighbor_list.py")
+        )
+        nl_mod = importlib.util.module_from_spec(spec)
+        sys.modules[nl_name] = nl_mod
+        spec.loader.exec_module(nl_mod)
+
+    for name, rel in (
+        ("refmd.models.schnet", "models/schnet.py"),
+        ("refmd.models.gradients", "models/gradients.py"),
+    ):
+        path = os.path.join(REF_ROOT, rel)
+        spec = importlib.util.spec_from_file_location(name, path)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[name] = mod
+        spec.loader.exec_module(mod)
+        _schnet_cache[name.removeprefix("refmd.")] = mod
+    _schnet_cache["data._keys"] = keys_mod
+    _schnet_cache["neighbor_list.neighbor_list"] = sys.modules[nl_name]
+    return _schnet_cache
 
 
 def load_reference_prior_modules():
