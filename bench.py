@@ -25,7 +25,9 @@ import time
 BASELINE = 2861.0  # timestep*mol/s, reference README.md:81
 
 
-def mfu_fields(cfg, n_atoms: int, throughput: float) -> dict:
+def mfu_fields(
+    cfg, n_atoms: int, throughput: float, n_devices: int = 1
+) -> dict:
     """Analytic kernel FLOPs + MFU for a cheb-path SchNet config.
 
     Each of B blocks runs M1 forward order-matmuls [A,A]@[A,F]; the
@@ -44,7 +46,10 @@ def mfu_fields(cfg, n_atoms: int, throughput: float) -> dict:
     b = cfg.num_interactions
     order_matmuls = (2 * b - 1) * m1 + b * m2
     flops_per_mol_step = order_matmuls * 2 * n_atoms**2 * cfg.num_filters
+    # A mesh aggregates throughput across n_devices chips, so the peak
+    # scales with it — otherwise mfu_vs_peak overstates by ~N (ADVICE r4).
     peak_tflops = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+    peak_tflops *= max(int(n_devices), 1)
     achieved = flops_per_mol_step * throughput
     return {
         "kernel_gflops_per_mol_step": round(flops_per_mol_step / 1e9, 4),
@@ -162,7 +167,14 @@ def main():
     # FLOP / MFU accounting (normalizes comparisons across chip
     # generations; the reference quotes throughput only —
     # reference README.md:76-81). Formula in mfu_fields above.
-    result.update(mfu_fields(ff.schnet_config, n_atoms, throughput))
+    result.update(
+        mfu_fields(
+            ff.schnet_config,
+            n_atoms,
+            throughput,
+            n_devices=mesh.devices.size if mesh is not None else 1,
+        )
+    )
 
     # Corroboration: the same config through the PRODUCTION loop
     # (sim.simulate() with real npy/checkpoint file IO and the pair-floor

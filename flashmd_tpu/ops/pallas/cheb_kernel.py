@@ -744,6 +744,12 @@ def _bwd_tile_budget(n_chains, need_gx, need_gd, has_cell, precision,
         # benchmarks/kernel_f256_budget.py), so the heuristic is scoped
         # to the fused case it was added for (ADVICE r3).
         tile_budget = max(tile_budget * 128 // f, 4_000)
+    elif f > 256:
+        # Non-stacked budgets are MEASURED only up to F=256 (the probe
+        # above); past that the per-group operand growth is unvalidated
+        # and the 16 MB scoped-VMEM stack can overflow at compile time.
+        # Scale down relative to the measured 256 pin (ADVICE r4).
+        tile_budget = max(tile_budget * 256 // f, 4_000)
     return tile_budget
 
 

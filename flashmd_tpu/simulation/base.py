@@ -785,6 +785,16 @@ class Simulation:
         for name, val in self._checkpoint_carry_extra.items():
             if name in carry:
                 carry[name] = jnp.asarray(val, carry[name].dtype)
+            else:
+                # e.g. a PT checkpoint resumed as plain Langevin: dropping
+                # exchange state silently would hide a config mismatch
+                # (ADVICE r4).
+                warnings.warn(
+                    f"Checkpoint carry entry {name!r} has no match in this "
+                    "simulation's carry and was ignored (was the checkpoint "
+                    "written by a different simulation type?)",
+                    UserWarning,
+                )
         if self.mesh is not None:
             from ..parallel.mesh import shard_carry
 

@@ -153,8 +153,11 @@ class PTSimulation(LangevinSimulation):
         carry = super()._init_carry(system, key)
         self._acc_exported = None  # fresh run (or resume): deltas restart
         carry["exchange_parity"] = jnp.asarray(0, jnp.int32)
+        # int32 accumulation: counts are exact for the full int32 range
+        # (f32 would silently drop increments past 2^24 exchanges per
+        # replica pair — ADVICE r4); converted to float at export.
         carry["acceptance_matrix"] = jnp.zeros(
-            (self.n_replicas, self.n_replicas), dtype=jnp.float32
+            (self.n_replicas, self.n_replicas), dtype=jnp.int32
         )
         carry["n_exchange_approved"] = jnp.asarray(0, jnp.int32)
         carry["n_exchange_attempted"] = jnp.asarray(0, jnp.int32)
@@ -259,8 +262,8 @@ class PTSimulation(LangevinSimulation):
         bia = self._slot_to_replica[pair_a]
         bib = self._slot_to_replica[pair_b]
         acc = carry["acceptance_matrix"]
-        acc = acc.at[bia, bib].add(approved.astype(jnp.float32))
-        acc = acc.at[bib, bia].add((valid & ~approved).astype(jnp.float32))
+        acc = acc.at[bia, bib].add(approved.astype(jnp.int32))
+        acc = acc.at[bib, bia].add((valid & ~approved).astype(jnp.int32))
         new_carry["acceptance_matrix"] = acc
         return new_carry
 
@@ -278,10 +281,10 @@ class PTSimulation(LangevinSimulation):
         # reference's per-export npys, parallel_tempering.py:504-517).
         # The carry is never mutated at export — that keeps the export
         # loop free to pipeline the next device launch before this
-        # segment's files are written (simulation/base.simulate). f32
-        # counts stay exact integers up to 2^24 exchanges per replica
-        # pair — far beyond realistic runs.
-        acc = np.asarray(carry["acceptance_matrix"])
+        # segment's files are written (simulation/base.simulate). The
+        # device matrix accumulates in int32 (exact counts); the
+        # exported delta keeps the reference's float npy format.
+        acc = np.asarray(carry["acceptance_matrix"]).astype(np.float32)
         if self._acc_exported is None:
             self._acc_exported = np.zeros_like(acc)
         delta = acc - self._acc_exported

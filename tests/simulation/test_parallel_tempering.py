@@ -312,3 +312,51 @@ def test_pt_resume_matches_uninterrupted(tmp_path):
     assert int(sim_b2.final_carry["n_exchange_approved"]) == int(
         sim_a.final_carry["n_exchange_approved"]
     )
+
+
+def test_acceptance_matrix_accumulates_exact_int(tmp_path):
+    """The device acceptance matrix accumulates in int32 (exact counts —
+    f32 would silently drop increments past 2^24 per pair, ADVICE r4);
+    the exported per-export delta keeps the reference's float format."""
+    sim = make_pt(tmp_path)
+    sim.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(4, 6), BETAS
+    )
+    sim.simulate()
+    assert sim.final_carry["acceptance_matrix"].dtype == np.int32
+    acc = np.load(tmp_path / "pt_acceptance_0000.npy")
+    assert acc.dtype == np.float32
+
+
+def test_resume_warns_on_foreign_carry_entries(tmp_path):
+    """A PT checkpoint resumed as plain Langevin drops the exchange state
+    (carry__exchange_parity / carry__n_exchange_*): that must be LOUD,
+    not silent (ADVICE r4)."""
+    from flashmd_tpu.simulation import LangevinSimulation
+
+    over = dict(create_checkpoints=True, n_timesteps=100)
+    sim = make_pt(tmp_path, **over)
+    sim.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(4, 6), BETAS
+    )
+    sim.simulate()
+    assert (tmp_path / "pt_checkpoint_0000.npz").exists()
+
+    sim2 = LangevinSimulation(
+        friction=1.0,
+        dt=5e-3,
+        n_timesteps=200,
+        save_interval=10,
+        export_interval=100,
+        filename="pt",
+        output_dir=str(tmp_path),
+        read_checkpoint_file=True,
+        random_seed=11,
+    )
+    # PT flattened 4 indep configs x 3 replicas into 12 simulations;
+    # the plain-Langevin resume must present the same batch shape.
+    sim2.attach_model_and_configurations(
+        harmonic_ff(6), chain_configs(12, 6), beta=1.0
+    )
+    with pytest.warns(UserWarning, match="no match in this simulation"):
+        sim2.simulate()
