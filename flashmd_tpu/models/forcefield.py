@@ -27,6 +27,7 @@ from flax import struct
 from ..ops.neighborlist import (
     NeighborMatrix,
     batched_radius_neighbor_matrix,
+    validate_min_image,
 )
 from ..prior.priors import Prior, prior_energy
 from .schnet import SchNetConfig, schnet_energy
@@ -180,6 +181,12 @@ def compute_energy_forces(
                 f"(got {ff.schnet_config.message_passing!r}); the dense/"
                 "pallas paths compute pair geometry from raw positions."
             )
+    if cell is not None and ff.schnet_params is not None:
+        # Concrete cells are checked here so direct API users (not just
+        # Simulation.attach) hit the minimum-image soundness wall; inside
+        # a jitted rollout the cell is a tracer and the attach-time check
+        # (simulation/base.py:_check_min_image_soundness) already ran.
+        validate_min_image(cell, ff.rcut, context="compute_energy_forces")
     if ff.exc_pair_index is not None and ff.schnet_params is not None:
         if ff.schnet_config.message_passing in ("dense", "cheb"):
             # The all-pairs paths have no neighbor list to drop pairs

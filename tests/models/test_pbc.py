@@ -25,6 +25,10 @@ from flashmd_tpu.models.forcefield import (
 from flashmd_tpu.models.schnet import SchNetConfig, init_schnet
 
 L, RCUT = 5.0, 2.0
+# Simulation-level tests include the engine's Verlet skin in the
+# minimum-image soundness condition (rcut + skin < L_SIM/2, enforced at
+# attach time), so they run in a larger box.
+L_SIM = 7.0
 
 
 @pytest.fixture(scope="module")
@@ -171,12 +175,17 @@ def test_cheb_langevin_simulation_with_cell(ff):
     from flashmd_tpu.simulation import LangevinSimulation
 
     rng = np.random.default_rng(1)
+    # atoms 0/1 hug opposite x-faces so their periodic image pair sits
+    # within rcut (d ~ 0.6 across the boundary, ~6.4 in the open box)
+    base = np.array(
+        [[0.3, 3.5, 3.5], [L_SIM - 0.3, 3.5, 3.5], [3.5, 3.5, 3.5]]
+    )
     cfgs = [
         Configuration(
-            pos=rng.uniform(0, L, (3, 3)),
+            pos=base + rng.uniform(-0.1, 0.1, (3, 3)),
             atom_types=np.array([0, 1, 2]),
             masses=np.ones(3),
-            cell=np.eye(3) * L,
+            cell=np.eye(3) * L_SIM,
         )
         for _ in range(2)
     ]
@@ -212,10 +221,10 @@ def test_langevin_simulation_with_cell(ff):
     rng = np.random.default_rng(0)
     cfgs = [
         Configuration(
-            pos=rng.uniform(0, L, (3, 3)),
+            pos=rng.uniform(0, L_SIM, (3, 3)),
             atom_types=np.array([0, 1, 2]),
             masses=np.ones(3),
-            cell=np.eye(3) * L,
+            cell=np.eye(3) * L_SIM,
         )
         for _ in range(2)
     ]
@@ -227,3 +236,67 @@ def test_langevin_simulation_with_cell(ff):
     sim.simulate()
     coords = np.concatenate(sim.simulated_coords, axis=1)
     assert coords.shape[0] == 2 and np.all(np.isfinite(coords))
+
+
+def test_compute_refuses_unsound_min_image_cell(ff):
+    """rcut >= half the smallest cell width means a second periodic image
+    of some pair can sit within the cutoff; minimum image would silently
+    drop it. The API refuses instead (VERDICT r4 #3; the reference handles
+    this regime by image replication, torch_impl.py:102-163)."""
+    pos, types, _ = _setup()
+    bad = jnp.eye(3) * (2 * RCUT - 0.5)  # width 3.5 < 2*rcut
+    with pytest.raises(ValueError, match="[Mm]inimum-image"):
+        compute_energy_forces(ff, pos, types, cell=bad)
+    with pytest.raises(ValueError, match="[Mm]inimum-image"):
+        compute_energy_forces(_cheb_ff(ff), pos, types, cell=bad)
+
+
+def _one_pbc_config(rng, box):
+    from flashmd_tpu.data.system import Configuration
+
+    return Configuration(
+        pos=rng.uniform(0, box, (3, 3)),
+        atom_types=np.array([0, 1, 2]),
+        masses=np.ones(3),
+        cell=np.eye(3) * box,
+    )
+
+
+def test_attach_refuses_unsound_cell_including_skin(ff):
+    """The engine's amortized list searches at rcut + neighbor_skin, so
+    THAT radius must satisfy the minimum-image condition: a box sound for
+    rcut alone but not for rcut + skin must be refused at attach time
+    (simulation/base.py:_check_min_image_soundness)."""
+    from flashmd_tpu.simulation import LangevinSimulation
+
+    rng = np.random.default_rng(2)
+    box = 5.5  # half-width 2.75: fine for rcut 2.0, unsound at 2.0 + 1.0
+    kw = dict(
+        dt=0.001, friction=1.0, n_timesteps=10, save_interval=5,
+        random_seed=7,
+    )
+
+    sim = LangevinSimulation(neighbor_skin=1.0, **kw)
+    with pytest.raises(ValueError, match="[Mm]inimum-image"):
+        sim.attach_model_and_configurations(
+            ff, [_one_pbc_config(rng, box)], beta=1.67
+        )
+
+    # a smaller skin brings the search radius back under the wall
+    sim_ok = LangevinSimulation(neighbor_skin=0.5, **kw)
+    sim_ok.attach_model_and_configurations(
+        ff, [_one_pbc_config(rng, box)], beta=1.67
+    )
+
+    # the cheb path has no neighbor list — skin does not apply
+    sim_cheb = LangevinSimulation(neighbor_skin=1.0, **kw)
+    sim_cheb.attach_model_and_configurations(
+        _cheb_ff(ff), [_one_pbc_config(rng, box)], beta=1.67
+    )
+
+    # and a genuinely small box is refused on every path
+    sim_bad = LangevinSimulation(neighbor_skin=0.0, **kw)
+    with pytest.raises(ValueError, match="[Mm]inimum-image"):
+        sim_bad.attach_model_and_configurations(
+            ff, [_one_pbc_config(rng, 3.0)], beta=1.67
+        )

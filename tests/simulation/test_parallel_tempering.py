@@ -130,7 +130,10 @@ from flashmd_tpu.models.cutoff import CosineCutoff
 from flashmd_tpu.models.forcefield import ForceField
 from flashmd_tpu.models.schnet import SchNetConfig, init_schnet
 
-L_BOX, RCUT_PBC, A_PBC = 5.0, 2.0, 8
+# Box large enough that rcut + the largest skin used below (1.0) stays
+# under L/2 — the minimum-image soundness condition now ENFORCED at
+# attach time (ops/neighborlist.py:validate_min_image).
+L_BOX, RCUT_PBC, A_PBC = 7.0, 2.0, 8
 
 
 def schnet_pbc_ff():
