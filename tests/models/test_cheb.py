@@ -288,3 +288,37 @@ def test_cheb_param_grad_contract(setup):
         for leaf in jax.tree_util.tree_leaves(g_xla)
     ]
     assert max(norms) > 0.0
+
+
+def test_cheb_param_grad_poison_guard(setup, monkeypatch):
+    """FLASHMD_CHEB_PARAM_GRAD=poison turns the contract's silent zeros
+    into NaN so a mistaken fine-tuning attempt through the cheb path
+    fails loudly on step one (VERDICT r4 #7) — while position gradients
+    (forces) remain finite and unchanged."""
+    cfg, params, pos, types, nbr = setup
+    cfg_c = dataclasses.replace(cfg, message_passing="cheb")
+
+    def energy_of_filters(filter_params):
+        p = dict(params)
+        p["interactions"] = [
+            {**bp, "filter": fp}
+            for bp, fp in zip(params["interactions"], filter_params)
+        ]
+        return schnet_energy(p, cfg_c, pos, types, None)
+
+    filters = [bp["filter"] for bp in params["interactions"]]
+    f_clean = jax.grad(lambda q: schnet_energy(params, cfg_c, q, types, None))(
+        pos
+    )
+
+    monkeypatch.setenv("FLASHMD_CHEB_PARAM_GRAD", "poison")
+    g_poison = jax.grad(energy_of_filters)(filters)
+    leaves = jax.tree_util.tree_leaves(g_poison)
+    assert any(np.all(np.isnan(np.asarray(leaf))) for leaf in leaves)
+
+    # forces are untouched by the poison mode
+    f_poison = jax.grad(
+        lambda q: schnet_energy(params, cfg_c, q, types, None)
+    )(pos)
+    assert np.all(np.isfinite(np.asarray(f_poison)))
+    np.testing.assert_array_equal(np.asarray(f_poison), np.asarray(f_clean))
