@@ -92,3 +92,66 @@ def test_system_is_pytree():
     assert all(hasattr(leaf, "shape") for leaf in leaves)
     moved = jax.tree.map(lambda x: x, system)
     assert moved.n_sims == 2 and moved.n_atoms == 5
+
+
+# ---------------------------------------------------------------------------
+# ase2configuration (data/ase_io.py) with a duck-typed ase.Atoms — ase is an
+# optional dependency absent from this image; the converter only touches the
+# Atoms API surface (reference ase2data: neighbor_list/utils.py:6-54).
+# ---------------------------------------------------------------------------
+
+
+class _FakeAtoms:
+    def __init__(self, pos, numbers, masses, cell=None, pbc=False,
+                 symbols="H2O"):
+        self._pos = np.asarray(pos)
+        self._numbers = np.asarray(numbers)
+        self._masses = np.asarray(masses)
+        self._cell = cell
+        self.pbc = np.asarray([pbc] * 3)
+        self.symbols = symbols
+
+    def get_positions(self):
+        return self._pos
+
+    def get_atomic_numbers(self):
+        return self._numbers
+
+    def get_masses(self):
+        return self._masses
+
+    def get_cell(self):
+        return self._cell
+
+
+def test_ase2configuration_open_boundaries():
+    from flashmd_tpu.data.ase_io import ase2configuration
+
+    atoms = _FakeAtoms(
+        pos=[[0.0, 0, 0], [1.0, 0, 0], [0, 1.0, 0]],
+        numbers=[1, 1, 8],
+        masses=[1.0, 1.0, 16.0],
+    )
+    cfg = ase2configuration(atoms)
+    assert cfg.cell is None  # pbc all False -> no cell carried
+    np.testing.assert_array_equal(cfg.atom_types, [1, 1, 8])
+    np.testing.assert_allclose(cfg.masses, [1.0, 1.0, 16.0])
+    assert cfg.pos.dtype == np.float64
+    assert cfg.tag == "H2O"
+
+
+def test_ase2configuration_periodic_cell_flows_through():
+    from flashmd_tpu.data.ase_io import ase2configuration
+
+    cell = np.diag([12.0, 13.0, 14.0])
+    atoms = _FakeAtoms(
+        pos=np.random.default_rng(0).uniform(0, 12, (4, 3)),
+        numbers=[6, 6, 6, 6],
+        masses=[12.0] * 4,
+        cell=cell,
+        pbc=True,
+        symbols="C4",
+    )
+    cfg = ase2configuration(atoms)
+    np.testing.assert_array_equal(cfg.cell, cell)
+    assert cfg.cell.dtype == np.float64
