@@ -103,11 +103,13 @@ def _fwd_unroll_groups(n_groups: int) -> int:
     return 2
 
 
-def _bwd_chunk_width(remaining: int) -> int:
+def _bwd_chunk_width(remaining: int, cap: int = BWD_UNROLL_GROUPS) -> int:
     """Groups per fori_loop iteration for a backward order-loop segment.
 
     0 means "no loop, unroll everything" — safe only when the whole
-    segment fits the scoped-VMEM stack (<= BWD_UNROLL_GROUPS groups).
+    segment fits the scoped-VMEM stack (<= ``cap`` groups; the default
+    BWD_UNROLL_GROUPS holds for the bf16 tiers, fp32 dual-chain
+    segments pass a smaller cap — see _cheb_bwd_kernel).
     Otherwise the width is shrunk until the loop has >= 2 iterations:
     JAX inlines single-iteration fori_loops, which silently recreates
     the full unroll and OOMs the stack (seen at order 64: 14 remaining
@@ -117,18 +119,19 @@ def _bwd_chunk_width(remaining: int) -> int:
     allocator is kinder to pow2 unroll bodies (all measured,
     benchmarks/kernel_bwd_unroll.py).
     """
-    if remaining <= BWD_UNROLL_GROUPS:
+    if remaining <= cap:
         return 0
     for gp in (8, 4, 2):
-        if gp <= BWD_UNROLL_GROUPS and remaining // gp >= 2:
+        if gp <= cap and remaining // gp >= 2:
             return gp
     raise AssertionError(
-        f"no pow2 unroll width <= {BWD_UNROLL_GROUPS} fits "
+        f"no pow2 unroll width <= {cap} fits "
         f"{remaining} remaining groups"
     )
 
 
-def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs, n):
+def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs, n,
+                    cap: int = BWD_UNROLL_GROUPS):
     """Chunk-unrolled recurrence segment over chain groups
     [g_start, g_end) of the backward order loop.
 
@@ -144,7 +147,7 @@ def _run_bwd_groups(g_start, g_end, hp, hc, accs, step, qs, n):
     remaining = g_end - g_start
     if remaining <= 0:
         return hp, hc, accs
-    gp = _bwd_chunk_width(remaining)
+    gp = _bwd_chunk_width(remaining, cap)
     n_iter = remaining // gp if gp else 0
 
     def body(i, carry):
@@ -577,8 +580,19 @@ def _cheb_bwd_kernel(
             return (accs[0] + chain_gx(h, m),)
 
         if need_gd:
+            # fp32 dual-chain segments carry ~2x the live state of the
+            # bf16 tiers per unrolled group: a 7-group straight-line
+            # unroll OOMs the 16 MB scoped stack at EVERY tile size
+            # (measured 16.3-27.9 MB across budgets 24k-56k,
+            # benchmarks/tpu_lane_probe.py cells 14/16, 2026-08-20)
+            # while 5 groups fit (the (56, 64)-order headline fp32
+            # reference compiles). Cap the unroll at the measured-safe
+            # 5 so longer fp32 segments take the fori_loop, whose live
+            # set is bounded (order-104 gx compiles at default budget).
+            cap = 5 if precision == "fp32" else BWD_UNROLL_GROUPS
             hs_prev, hs_cur, (gx_acc, gd) = _run_bwd_groups(
-                2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both, qs, n
+                2, shared, hs_prev, hs_cur, (gx_acc, gd), step_both,
+                qs, n, cap=cap,
             )
         if groups_gx > shared:
             hs_prev, hs_cur, (gx_acc,) = _run_bwd_groups(
@@ -707,7 +721,25 @@ def _bwd_tile_budget(n_chains, need_gx, need_gd, has_cell, precision,
         if has_cell:
             tile_budget = 32_000 if need_gx else 52_000
         else:
-            tile_budget = 37_000 if need_gx else 75_000
+            # gx+gd at n=8: 37k (the round-4 pin) now OOMs the scoped
+            # stack at A=266/F=128 (19.28M/16M at bf16, 21.14M at
+            # bf16x3 — the That-basis gx additions grew the live set;
+            # caught by the round-5 TPU test lane,
+            # tests/ops/test_tpu_lane.py). Re-measured 2026-08-20 on
+            # v5e (benchmarks/tpu_lane_probe.py): 33k compiles at every
+            # F=128 OOMing corner AND times fastest of the compiling
+            # ladder (36.8 us vs 49.7-70.6 at 24k-30k; bf16x3 34.7 vs
+            # 60-95). A=532 keeps compiling (its ceil-division tiles
+            # were already smaller). The allocator is NOT monotonic in
+            # the budget: at F=256 the 33k geometry (3x96-row tiles,
+            # a_pad 288) OOMs by 448K while the 37k one (2x136, a_pad
+            # 272) compiles and runs (probe "ok 69.2us") — wide F keeps
+            # the round-4 budget. (Block-stacked operands never take
+            # this branch: the deferred-gd backward is gx-free.)
+            if need_gx:
+                tile_budget = 33_000 if f <= 128 else 37_000
+            else:
+                tile_budget = 75_000
     else:
         if has_cell:
             tile_budget = 64_000 if need_gx else 104_000
@@ -729,7 +761,12 @@ def _bwd_tile_budget(n_chains, need_gx, need_gd, has_cell, precision,
         # (75k OOMs at 72 rows).
         if precision == "bf16x3":
             tile_budget = 40_000 if has_cell else 48_000
-        elif order_gx > 72:
+        elif order_gx > 72 or precision == "fp32":
+            # fp32 joins the reduced cell unconditionally: 75k OOMs at
+            # order_gx = 72 (19.21M/16M, tpu_lane_probe cell 15,
+            # 2026-08-20), and the round-4 measurement already had fp32
+            # FASTER at 56k even where 75k compiled (117 vs 148 us/mol
+            # at order 56, benchmarks/kernel_gxonly_budget.py).
             tile_budget = 52_000 if has_cell else 56_000
         else:
             tile_budget = 52_000 if has_cell else 75_000

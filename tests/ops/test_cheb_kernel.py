@@ -660,8 +660,15 @@ def test_bwd_tile_budget_table():
         return _bwd_tile_budget(n, gx, gd, cell, prec, order_gx,
                                 stacked, f)
 
-    # combined gx+gd kernel (the per-block FLASHMD_CHEB_STACK=0 path)
-    assert b(n=8) == 37_000 and b(n=8, cell=True) == 32_000
+    # combined gx+gd kernel (the per-block FLASHMD_CHEB_STACK=0 path).
+    # n=8 open-boundary re-measured DOWN from the round-4 37k: the
+    # That-basis gx live set grew and 37k OOMs at A=266/F=128
+    # (19.28M/16M; caught by the round-5 TPU lane,
+    # benchmarks/tpu_lane_probe.py). F=256 keeps 37k — the 33k tile
+    # geometry (a_pad 288) OOMs there while 136-row tiles compile
+    # (the scoped-stack allocator is not monotonic in the budget).
+    assert b(n=8) == 33_000 and b(n=8, cell=True) == 32_000
+    assert b(n=8, f=256) == 37_000
     assert b(n=4) == 74_000 and b(n=4, cell=True) == 64_000
     # gd-only (the block-stacked fused-gd call)
     assert b(gx=False) == 75_000 and b(gx=False, cell=True) == 52_000
@@ -676,9 +683,17 @@ def test_bwd_tile_budget_table():
     assert b(gd=False, order_gx=136) == 56_000
     assert b(gd=False, order_gx=88, cell=True) == 52_000
     assert b(gd=False, order_gx=56, cell=True) == 52_000
+    # fp32 takes the reduced gx-only cell at EVERY order: 75k OOMs at
+    # order 72 (tpu_lane_probe cell 15) and 56k measured faster even
+    # where 75k compiled (round 4, kernel_gxonly_budget.py).
+    assert b(gd=False, order_gx=56, prec="fp32") == 56_000
+    assert b(gd=False, order_gx=72, prec="fp32") == 56_000
     assert b(gd=False, prec="bf16x3", order_gx=72) == 48_000
     assert b(gd=False, prec="bf16x3", order_gx=72, cell=True) == 40_000
-    # F > 128 scaling is scoped to block-stacked operands (ADVICE r3)
+    # F > 128 scaling is scoped to block-stacked operands (ADVICE r3);
+    # non-stacked F is MEASURED up to 256 (kept unscaled there) and
+    # scales down relative to that pin past it (ADVICE r4).
     assert b(gx=False, stacked=True, f=384) == 75_000 * 128 // 384
-    assert b(gx=False, stacked=False, f=384) == 75_000
+    assert b(gx=False, stacked=False, f=256) == 75_000
+    assert b(gx=False, stacked=False, f=384) == 75_000 * 256 // 384
     assert b(n=4, f=256) == 74_000
