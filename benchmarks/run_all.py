@@ -167,12 +167,46 @@ def _cfg_sharded(n_steps, chunk):
     }
 
 
+def _cfg_mixed(n_steps, chunk):
+    """BASELINE config "mixed-size batches": 266- and 532-bead proteins
+    in ONE batch — a config the reference cannot serve at all
+    (validate_data_list refuses, reference base.py:914-983). Every
+    molecule is padded to A_max = 532 (static shapes are the TPU
+    contract), so a 266-bead molecule costs a 532-bead slot; the row
+    reports both the molecule throughput and the padding overhead vs
+    running the same molecules in two homogeneous batches.
+    """
+    from flashmd_tpu.models.zoo import cgschnet_1enh_like
+    from flashmd_tpu.simulation import LangevinSimulation
+
+    # Identical SchNet config across sizes (explicit orders opt out of
+    # the size-aware defaults, which would otherwise differ at 266/532
+    # and fail stack_forcefields' identical-config check).
+    kw = dict(
+        precision="bf16", message_passing="cheb",
+        cheb_order=64, cheb_order_deriv=64, cheb_d_min=2.0, seed=0,
+    )
+    ff_266, cfgs_266 = cgschnet_1enh_like(n_atoms=266, batch_size=1, **kw)
+    ff_532, cfgs_532 = cgschnet_1enh_like(n_atoms=532, batch_size=1, **kw)
+    half = 16
+    ffs = [ff_266] * half + [ff_532] * half
+    cfgs = cfgs_266 * half + cfgs_532 * half
+    tp = bench_sim(LangevinSimulation, ffs, cfgs, 1.67, n_steps, chunk)
+    return {
+        "config": "mixed_266_532_batch32",
+        "throughput": round(tp, 1),
+        "note": "266-bead molecules padded to 532 (static shapes); "
+        "reference refuses mixed batches outright",
+    }
+
+
 CONFIGS = [
     ("batch8_fp32_optim_off", _cfg_optim_off),
     ("batch128_bf16_headline", _cfg_headline),
     ("pt_3replicas_onchip_exchange", _cfg_pt),
     ("large_protein_A532_batch32", _cfg_large),
     ("sharded_multichip", _cfg_sharded),
+    ("mixed_266_532_batch32", _cfg_mixed),
 ]
 
 

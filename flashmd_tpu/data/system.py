@@ -224,12 +224,18 @@ class System(struct.PyTreeNode):
     """
 
     pos: jnp.ndarray  # [S, A, 3]
-    atom_types: jnp.ndarray  # [A] int32
+    atom_types: jnp.ndarray  # [A] int32 — or [S, A] for mixed batches
     masses: jnp.ndarray  # [S, A]
     beta: jnp.ndarray  # [S]
     velocities: Optional[jnp.ndarray] = None  # [S, A, 3]
     cell: Optional[jnp.ndarray] = None  # [S, 3, 3] lattices (None = open)
     term_lists: Dict[str, TermList] = struct.field(default_factory=dict)
+    # Mixed-size batches only ([S, A] float, 1 = real atom, 0 = padding;
+    # None = homogeneous batch, every atom real). Built by
+    # :func:`collate_padded`; padded atoms are parked on a far-away
+    # ladder so no radius-graph pair can involve them, and the
+    # integrators freeze them exactly (masked noise scale).
+    atom_mask: Optional[jnp.ndarray] = None
 
     @property
     def n_sims(self) -> int:
@@ -380,4 +386,113 @@ def collate(
         velocities=velocities,
         cell=cell,
         term_lists=term_lists,
+    )
+
+
+def collate_padded(
+    configurations: Sequence[Configuration],
+    beta=None,
+    dtype=jnp.float32,
+    pad_spacing: float = 1.0e4,
+) -> System:
+    """Stack configurations of DIFFERENT sizes into one padded System.
+
+    The mixed-size extension the reference refuses outright
+    (``validate_data_list``, reference: src/flashmd/simulation/base.py:
+    914-983 — identical shapes and types required). Every molecule is
+    padded to the batch's max atom count; ``atom_mask`` ([S, A_max])
+    marks real atoms. Padded atoms are parked on a ladder of far-away
+    positions (``pad_spacing`` apart, starting ``pad_spacing`` beyond
+    the molecule), so that:
+
+    * no radius-graph pair (at any realistic rcut + skin) can involve a
+      padded atom — the SchNet paths exclude padding with zero model
+      changes, and the masked output head (models/schnet.py
+      ``schnet_energy(atom_mask=...)``) removes their bias energies;
+    * padded-padded pair distances are strictly positive — no 0/0 in
+      any all-pairs path.
+
+    Padded masses are 1 (never divided into anything that matters: the
+    integrators zero padded noise scales and padded forces vanish
+    because the energy is independent of padded coordinates).
+
+    Periodic cells are refused: minimum-image wrapping would fold the
+    far-away padding back into the box, silently creating phantom
+    pairs. Mixed batches are open-boundary only.
+
+    Per-molecule term lists keep their own sizes host-side; the
+    specialized priors are padded/stacked separately
+    (prior.priors.stack_priors via models.forcefield.stack_forcefields).
+    """
+    if len(configurations) == 0:
+        raise ValueError("Cannot collate an empty configuration list")
+    if any(c.cell is not None for c in configurations):
+        raise NotImplementedError(
+            "Mixed-size (padded) batches do not support periodic cells: "
+            "minimum-image wrapping would fold the padding atoms back "
+            "into the box. Collate homogeneous batches for PBC."
+        )
+    if any(c.exc_pair_index is not None for c in configurations):
+        raise NotImplementedError(
+            "Mixed-size batches with exc_pair_index are not supported "
+            "(the exclusion list is bound per force field; see "
+            "models/forcefield.stack_forcefields)."
+        )
+    sizes = [c.n_atoms for c in configurations]
+    a_max = max(sizes)
+    n_sims = len(configurations)
+    have_masses = any(c.masses is not None for c in configurations)
+    have_vel = all(c.velocities is not None for c in configurations)
+
+    pos = np.zeros((n_sims, a_max, 3), np.float64)
+    types = np.zeros((n_sims, a_max), np.int32)
+    masses = np.ones((n_sims, a_max), np.float64)
+    mask = np.zeros((n_sims, a_max), np.float32)
+    vel = np.zeros((n_sims, a_max, 3), np.float64) if have_vel else None
+    for s, c in enumerate(configurations):
+        a = c.n_atoms
+        pos[s, :a] = c.pos
+        # Far-away ladder: strictly increasing offsets along x keep all
+        # padded-padded and padded-real distances >= pad_spacing.
+        n_pad = a_max - a
+        if n_pad:
+            base = c.pos.mean(axis=0)
+            pos[s, a:] = base + np.stack(
+                [
+                    pad_spacing * np.arange(1, n_pad + 1),
+                    np.zeros(n_pad),
+                    np.zeros(n_pad),
+                ],
+                axis=1,
+            )
+        types[s, :a] = np.asarray(c.atom_types, np.int32)
+        if c.masses is not None:
+            masses[s, :a] = c.masses
+        mask[s, :a] = 1.0
+        if have_vel:
+            vel[s, :a] = c.velocities
+
+    if beta is None:
+        beta_arr = np.ones((n_sims,), np.float64)
+    else:
+        beta_arr = np.broadcast_to(
+            np.asarray(beta, np.float64), (n_sims,)
+        ).copy()
+        if not np.all(beta_arr > 0) or not np.all(np.isfinite(beta_arr)):
+            raise ValueError(
+                f"All betas must be positive and finite, got {beta_arr}."
+            )
+
+    if not have_masses:
+        masses = np.ones((n_sims, a_max), np.float64)
+
+    return System(
+        pos=jnp.asarray(pos, dtype),
+        atom_types=jnp.asarray(types, jnp.int32),
+        masses=jnp.asarray(masses, dtype),
+        beta=jnp.asarray(beta_arr, dtype),
+        velocities=None if vel is None else jnp.asarray(vel, dtype),
+        cell=None,
+        term_lists={},
+        atom_mask=jnp.asarray(mask),
     )

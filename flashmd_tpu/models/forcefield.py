@@ -54,6 +54,11 @@ class ForceField(struct.PyTreeNode):
     # (the structure's ``exc_pair_index``, reference schnet.py:221-242),
     # bound here at build_forcefield time like the specialized priors.
     exc_pair_index: Optional[jnp.ndarray] = None
+    # Mixed-size batches (stack_forcefields): prior leaves carry a
+    # leading [S] axis and are vmapped alongside the positions in
+    # compute_energy_forces. The SchNet parameters stay shared (one
+    # transferable network, per-molecule priors).
+    batched_priors: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def rcut(self) -> float:
@@ -83,15 +88,19 @@ def energy_components(
     atom_types: jnp.ndarray,
     nbr: Optional[NeighborMatrix],
     cell=None,
+    atom_mask=None,
 ) -> Dict[str, jnp.ndarray]:
     """Per-model energies of ONE molecule (each a scalar).
 
     Equivalent of SumOut.forward populating ``data.out[name]["energy"]``
-    (reference: gradients.py:72-152)."""
+    (reference: gradients.py:72-152). ``atom_mask`` ([A]) removes padded
+    atoms' output-head energies in mixed-size batches; the priors need no
+    mask here because padded priors carry their own ``term_mask``."""
     out = {}
     if ff.schnet_params is not None:
         out[SCHNET_NAME] = schnet_energy(
-            ff.schnet_params, ff.schnet_config, pos, atom_types, nbr, cell
+            ff.schnet_params, ff.schnet_config, pos, atom_types, nbr,
+            cell, atom_mask=atom_mask,
         )
     for name, prior in ff.priors.items():
         out[name] = prior_energy(prior, pos)
@@ -104,9 +113,10 @@ def total_energy(
     atom_types: jnp.ndarray,
     nbr: Optional[NeighborMatrix],
     cell=None,
+    atom_mask=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """(scalar total energy, components) of one molecule."""
-    comps = energy_components(ff, pos, atom_types, nbr, cell)
+    comps = energy_components(ff, pos, atom_types, nbr, cell, atom_mask)
     total = jnp.asarray(0.0, dtype=pos.dtype)
     for v in comps.values():
         total = total + v
@@ -147,9 +157,10 @@ def build_neighbors(
 def compute_energy_forces(
     ff: ForceField,
     pos_batch: jnp.ndarray,  # [S, A, 3]
-    atom_types: jnp.ndarray,  # [A]
+    atom_types: jnp.ndarray,  # [A], or [S, A] for mixed batches
     nbr: Optional[NeighborMatrix] = None,
     cell=None,
+    atom_mask=None,  # [S, A] (mixed batches), else None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Batched potential + forces: ([S], [S, A, 3], components dict of [S]).
 
@@ -170,10 +181,24 @@ def compute_energy_forces(
     (unwrapped) coordinates — correct for intramolecular terms, like the
     reference.
     """
-    if atom_types is None or jnp.ndim(atom_types) != 1:
+    if atom_types is None or jnp.ndim(atom_types) not in (1, 2):
         # embedding[None] would silently produce a broadcast shape and fail
         # deep inside the message-passing kernels
-        raise ValueError("atom_types must be a 1-D [A] integer array")
+        raise ValueError(
+            "atom_types must be a 1-D [A] (homogeneous batch) or 2-D "
+            "[S, A] (mixed batch) integer array"
+        )
+    types_mapped = jnp.ndim(atom_types) == 2
+    if ff.batched_priors and ff.priors and not types_mapped:
+        raise ValueError(
+            "A batched-prior (mixed-size) force field needs per-sim "
+            "[S, A] atom_types (see data.system.collate_padded)."
+        )
+    if (types_mapped or atom_mask is not None) and cell is not None:
+        raise NotImplementedError(
+            "Mixed-size (padded) batches do not support periodic cells "
+            "(data/system.collate_padded refuses them at collation)."
+        )
     if cell is not None and ff.schnet_params is not None:
         if ff.schnet_config.message_passing not in ("xla", "cheb"):
             raise NotImplementedError(
@@ -214,14 +239,93 @@ def compute_energy_forces(
     cell_mapped = model_cell is not None and jnp.ndim(model_cell) == 3
 
     def batch_total(p):
-        def one(q, n, mc):
-            return total_energy(ff, q, atom_types, n, mc)
+        def one(q, n, mc, pr, ty, am):
+            ff_one = ff.replace(priors=pr) if ff.batched_priors else ff
+            return total_energy(ff_one, q, ty, n, mc, atom_mask=am)
 
-        in_axes = [0, None if nbr is None else 0, 0 if cell_mapped else None]
+        in_axes = [
+            0,
+            None if nbr is None else 0,
+            0 if cell_mapped else None,
+            0 if ff.batched_priors else None,
+            0 if types_mapped else None,
+            None if atom_mask is None else 0,
+        ]
         totals, comps = jax.vmap(one, in_axes=tuple(in_axes))(
-            p, nbr, model_cell
+            p, nbr, model_cell, ff.priors, atom_types, atom_mask
         )
         return jnp.sum(totals), (totals, comps)
 
     grad, (totals, comps) = jax.grad(batch_total, has_aux=True)(pos_batch)
     return totals, -grad, comps
+
+
+def stack_forcefields(ffs) -> ForceField:
+    """Combine per-molecule force fields into one mixed-batch field.
+
+    The mixed-size-batch capability the reference lacks entirely (its
+    ``validate_data_list`` refuses heterogeneous structures, reference:
+    src/flashmd/simulation/base.py:914-983). Requirements:
+
+    * every field shares the SAME SchNet network (one transferable CG
+      model over different proteins) — config compared by equality,
+      parameters by array equality;
+    * matching prior keysets (kind/order checked by stack_priors);
+    * no exc_pair_index (per-molecule exclusion lists would need a
+      per-sim neighbor-drop mask — out of scope with mixed batches).
+
+    Prior leaves come back with a leading [S] axis (padded to the max
+    term count, masked); ``batched_priors=True`` makes
+    :func:`compute_energy_forces` vmap them alongside the positions.
+    Pair with ``data.system.collate_padded`` for the System side.
+    """
+    from ..prior.priors import stack_priors
+
+    ffs = list(ffs)
+    if not ffs:
+        raise ValueError("stack_forcefields needs at least one field")
+    ref = ffs[0]
+    if any(ff.batched_priors for ff in ffs):
+        raise ValueError("stack_forcefields inputs must be unbatched")
+    if any(ff.exc_pair_index is not None for ff in ffs):
+        raise NotImplementedError(
+            "Mixed-size batches with exc_pair_index are not supported."
+        )
+    for ff in ffs[1:]:
+        if (ff.schnet_params is None) != (ref.schnet_params is None):
+            raise ValueError(
+                "stack_forcefields: SchNet presence differs across fields"
+            )
+        if ff.schnet_config != ref.schnet_config:
+            raise ValueError(
+                "stack_forcefields requires identical SchNet configs "
+                "(one transferable network shared by every molecule)."
+            )
+        if ref.schnet_params is not None:
+            same = jax.tree_util.tree_all(
+                jax.tree.map(
+                    lambda a, b: jnp.asarray(a).shape == jnp.asarray(b).shape
+                    and bool(jnp.all(jnp.asarray(a) == jnp.asarray(b))),
+                    ref.schnet_params,
+                    ff.schnet_params,
+                )
+            )
+            if not same:
+                raise ValueError(
+                    "stack_forcefields requires identical SchNet "
+                    "parameters — the mixed batch shares one network."
+                )
+        if set(ff.priors.keys()) != set(ref.priors.keys()):
+            raise ValueError(
+                f"Prior keysets differ: {sorted(ff.priors)} vs "
+                f"{sorted(ref.priors)}"
+            )
+    priors = {
+        name: stack_priors([ff.priors[name] for ff in ffs])
+        for name in ref.priors
+    }
+    return ref.replace(
+        priors=priors,
+        neighbor_capacity=max(ff.neighbor_capacity for ff in ffs),
+        batched_priors=True,
+    )

@@ -501,9 +501,17 @@ def _schnet_atom_energies(
 
 def schnet_energy(
     params, config: SchNetConfig, pos, atom_types, nbr: NeighborMatrix,
-    cell=None,
+    cell=None, atom_mask=None,
 ):
-    """Total energy of one molecule (scalar)."""
-    return jnp.sum(
-        schnet_atom_energies(params, config, pos, atom_types, nbr, cell)
-    )
+    """Total energy of one molecule (scalar).
+
+    ``atom_mask`` ([A], 1 = real, 0 = padding) drops the output-head
+    energies of padded atoms in a mixed-size batch (data/system.py
+    ``collate_padded``). Message passing needs no masking: padding is
+    parked beyond any cutoff, so padded atoms exchange zero messages —
+    only their per-atom head bias must be removed here.
+    """
+    e = schnet_atom_energies(params, config, pos, atom_types, nbr, cell)
+    if atom_mask is not None:
+        e = e * atom_mask
+    return jnp.sum(e)

@@ -143,6 +143,12 @@ class Prior(struct.PyTreeNode):
     kind: str = struct.field(pytree_node=False, default="harmonic_bonds")
     name: str = struct.field(pytree_node=False, default="bonds")
     feature: str = struct.field(pytree_node=False, default="distance")
+    # Per-term validity for padded (mixed-size-batch) priors: [n_terms]
+    # float, 1 = real term, 0 = padding. None (the common case) means
+    # every term is real. Padding terms DUPLICATE a real term (see
+    # pad_prior), so their primals/partials are finite and the masked
+    # select below contributes exactly zero energy AND zero gradient.
+    term_mask: Optional[jnp.ndarray] = None
 
     @property
     def order(self) -> int:
@@ -197,6 +203,8 @@ def prior_energy(prior: Prior, pos) -> jnp.ndarray:
         )
     else:
         raise NotImplementedError(f"Unknown prior kind: {kind}")
+    if prior.term_mask is not None:
+        terms = jnp.where(prior.term_mask > 0, terms, 0.0)
     return jnp.sum(terms)
 
 
@@ -429,4 +437,125 @@ def densify_repulsion(prior: Prior, n_atoms: int) -> Prior:
         kind="repulsion_dense",
         name=prior.name,
         feature="distance",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixed-size-batch support: padding and stacking specialized priors
+# ---------------------------------------------------------------------------
+#
+# A mixed batch carries DIFFERENT molecules, so each sim has its own
+# specialized priors (term counts and index maps differ). The TPU-native
+# layout pads every molecule's prior to the batch maximum term count and
+# stacks the leaves along a leading [S] axis; the engine then vmaps
+# ``prior_energy`` over that axis alongside the positions. The reference
+# cannot do this at all — its ``validate_data_list`` refuses mixed
+# structures (reference: src/flashmd/simulation/base.py:914-983).
+
+
+def pad_prior(prior: Prior, n_terms: int) -> Prior:
+    """Pad a specialized prior to ``n_terms`` terms with masked duplicates.
+
+    Padding terms DUPLICATE the prior's first term (same indices, same
+    parameters) and carry ``term_mask = 0``: the duplicated term's energy
+    and partials are finite by construction (it is a real term of a real
+    molecule), so the masked select in :func:`prior_energy` yields exactly
+    zero energy and exactly zero gradient for padding — no NaN-through-
+    where hazard from degenerate padded geometry.
+
+    A zero-term prior (legal: a molecule may e.g. have no dihedrals) is
+    padded with consecutive-atom indices and zero-valued parameters; the
+    distinct indices keep the feature primal finite.
+    """
+    if prior.kind == "repulsion_dense":
+        raise ValueError(
+            "pad_prior pads term lists; densify after stacking instead "
+            "(dense repulsion pads by zero-extending sigma6)."
+        )
+    t = prior.n_terms
+    if n_terms < t:
+        raise ValueError(f"Cannot pad {t} terms down to {n_terms}")
+    mask = prior.term_mask
+    if mask is None:
+        mask = jnp.ones((t,), jnp.float32)
+    if n_terms == t:
+        return prior.replace(term_mask=mask)
+    extra = n_terms - t
+    if t > 0:
+        idx_pad = jnp.repeat(
+            prior.index_mapping[:, :1], extra, axis=1
+        )
+        params_pad = {
+            k: jnp.repeat(v[:1], extra, axis=0)
+            for k, v in prior.params.items()
+        }
+    else:
+        idx_pad = jnp.broadcast_to(
+            jnp.arange(prior.order, dtype=jnp.int32)[:, None],
+            (prior.order, extra),
+        )
+        params_pad = {
+            k: jnp.zeros((extra,) + v.shape[1:], v.dtype)
+            for k, v in prior.params.items()
+        }
+    return prior.replace(
+        index_mapping=jnp.concatenate(
+            [prior.index_mapping, idx_pad], axis=1
+        ),
+        params={
+            k: jnp.concatenate([prior.params[k], params_pad[k]], axis=0)
+            for k in prior.params
+        },
+        term_mask=jnp.concatenate(
+            [mask, jnp.zeros((extra,), jnp.float32)]
+        ),
+    )
+
+
+def stack_priors(priors) -> Prior:
+    """Stack per-molecule priors of one kind into a batched Prior.
+
+    Every leaf gains a leading [S] axis after padding to the max term
+    count (dense repulsion: zero-extending sigma6 to the max atom count).
+    Evaluate with ``jax.vmap(prior_energy, in_axes=(0, 0))`` — see
+    models/forcefield.compute_energy_forces (batched-prior path).
+    """
+    priors = list(priors)
+    if not priors:
+        raise ValueError("stack_priors needs at least one prior")
+    ref = priors[0]
+    for p in priors:
+        if (p.kind, p.name, p.feature, p.order) != (
+            ref.kind, ref.name, ref.feature, ref.order,
+        ):
+            raise ValueError(
+                "stack_priors requires matching (kind, name, feature, "
+                f"order): got {(p.kind, p.name, p.feature, p.order)} vs "
+                f"{(ref.kind, ref.name, ref.feature, ref.order)}"
+            )
+    if ref.kind == "repulsion_dense":
+        a_max = max(p.params["sigma6"].shape[0] for p in priors)
+        mats = []
+        for p in priors:
+            m = p.params["sigma6"]
+            a = m.shape[0]
+            mats.append(jnp.pad(m, ((0, a_max - a), (0, a_max - a))))
+        return ref.replace(
+            index_mapping=jnp.stack(
+                [
+                    jnp.zeros((ref.order, 0), jnp.int32)
+                    for _ in priors
+                ]
+            ),
+            params={"sigma6": jnp.stack(mats)},
+        )
+    t_max = max(p.n_terms for p in priors)
+    padded = [pad_prior(p, t_max) for p in priors]
+    return ref.replace(
+        index_mapping=jnp.stack([p.index_mapping for p in padded]),
+        params={
+            k: jnp.stack([p.params[k] for p in padded])
+            for k in ref.params
+        },
+        term_mask=jnp.stack([p.term_mask for p in padded]),
     )

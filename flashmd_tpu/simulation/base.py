@@ -366,10 +366,30 @@ class Simulation:
 
     def attach_model_and_configurations(
         self,
-        model: ForceField,
+        model: Union[ForceField, List[ForceField]],
         configurations: List[Configuration],
         beta: Union[float, List[float]],
     ):
+        """Attach the force field(s) and the starting structures.
+
+        ``model`` may be a LIST of per-molecule force fields (one per
+        configuration, same SchNet network) — that selects the
+        mixed-size-batch path: priors are padded/stacked
+        (models/forcefield.stack_forcefields) and the configurations are
+        padded to the max atom count (data/system.collate_padded). The
+        reference refuses mixed structures outright
+        (validate_data_list, reference base.py:914-983).
+        """
+        if isinstance(model, (list, tuple)):
+            from ..models.forcefield import stack_forcefields
+
+            if len(model) != len(configurations):
+                raise ValueError(
+                    f"Got {len(model)} force fields for "
+                    f"{len(configurations)} configurations; a mixed "
+                    "batch needs one per configuration."
+                )
+            model = stack_forcefields(model)
         self._attach_model(model)
         self._check_exclusion_binding(model, configurations)
         self._attach_configurations(configurations, beta=beta)
@@ -475,7 +495,43 @@ class Simulation:
         beta: Union[float, List[float]],
         overdamped: bool = False,
     ):
-        system = collate(configurations, beta=beta, dtype=self.dtype)
+        sizes = {c.n_atoms for c in configurations}
+        mixed = getattr(self.model, "batched_priors", False) or (
+            len(sizes) > 1
+        )
+        if mixed:
+            if (
+                self.model is not None
+                and self.model.priors
+                and not self.model.batched_priors
+            ):
+                raise ValueError(
+                    "Configurations of different sizes need per-molecule "
+                    "force fields: pass a LIST of fields to "
+                    "attach_model_and_configurations (stacked via "
+                    "models.forcefield.stack_forcefields)."
+                )
+            from ..data.system import collate_padded
+
+            system = collate_padded(
+                configurations, beta=beta, dtype=self.dtype
+            )
+            if (
+                self.model is not None
+                and self.model.batched_priors
+                and self.model.priors
+            ):
+                s_prior = next(
+                    iter(self.model.priors.values())
+                ).index_mapping.shape[0]
+                if s_prior != system.n_sims:
+                    raise ValueError(
+                        f"The stacked force field carries {s_prior} "
+                        f"molecules but {system.n_sims} configurations "
+                        "were attached."
+                    )
+        else:
+            system = collate(configurations, beta=beta, dtype=self.dtype)
         self.n_sims = system.n_sims
         self.n_atoms = system.n_atoms
         self.n_dims = system.n_dims
@@ -581,6 +637,7 @@ class Simulation:
             self.initial_system.atom_types,
             self._carry_nbr(carry),
             cell=self.initial_system.cell,
+            atom_mask=self.initial_system.atom_mask,
         )
 
     def _init_carry(self, system: System, key) -> Dict:
@@ -652,9 +709,26 @@ class Simulation:
     def _frame_outputs(self, carry: Dict) -> Dict:
         """What gets recorded at each save point."""
         out = {"pos": carry["pos"]}
-        spread = jnp.std(
-            carry["pos"].reshape(self.n_sims, -1), axis=1
-        )
+        mask = self.initial_system.atom_mask
+        if mask is None:
+            spread = jnp.std(
+                carry["pos"].reshape(self.n_sims, -1), axis=1
+            )
+        else:
+            # Mixed batch: padding sits on the far-away ladder, which
+            # would dominate an unmasked std — compute the blow-up
+            # statistic over real atoms only (masked mean/variance).
+            w = mask[..., None]  # [S, A, 1]
+            n = jnp.sum(w, axis=(1, 2)) * carry["pos"].shape[-1]
+            mean = jnp.sum(carry["pos"] * w, axis=(1, 2)) / n
+            var = (
+                jnp.sum(
+                    jnp.square(carry["pos"] - mean[:, None, None]) * w,
+                    axis=(1, 2),
+                )
+                / n
+            )
+            spread = jnp.sqrt(var)
         out["pos_spread"] = spread
         if "nbr_n_max" in carry:
             out["nbr_n_max"] = carry["nbr_n_max"]
@@ -739,15 +813,26 @@ class Simulation:
         ):
             model_cell = jnp.asarray(cell)
 
+        mask = self.initial_system.atom_mask
+
         def batch_components(p):
+            def one(q, n, mc, pr, ty, am):
+                ff_one = (
+                    ff.replace(priors=pr) if ff.batched_priors else ff
+                )
+                return total_energy(ff_one, q, ty, n, mc, atom_mask=am)
+
             _, comps = jax.vmap(
-                lambda q, n, mc: total_energy(ff, q, types, n, mc),
+                one,
                 in_axes=(
                     0,
                     None if nbr is None else 0,
                     None if model_cell is None else 0,
+                    0 if ff.batched_priors else None,
+                    0 if jnp.ndim(types) == 2 else None,
+                    None if mask is None else 0,
                 ),
-            )(p, nbr, model_cell)
+            )(p, nbr, model_cell, ff.priors, types, mask)
             return comps
 
         if self.save_energy_components:

@@ -68,6 +68,14 @@ class LangevinSimulation(Simulation):
         self.beta_mass_ratio = jnp.sqrt(
             1.0 / beta_atom / system.masses
         )[..., None].astype(self.dtype)
+        if system.atom_mask is not None:
+            # Mixed-size batch: a zero noise scale freezes padded atoms
+            # EXACTLY — with zero force (the masked energy is independent
+            # of padded coordinates) and zero initial velocity, every
+            # BAOAB substep is then the identity for padding.
+            self.beta_mass_ratio = (
+                self.beta_mass_ratio * system.atom_mask[..., None]
+            )
         if system.velocities is None:
             vel = sample_maxwell_boltzmann(
                 jax.random.PRNGKey(self.random_seed + 1),
@@ -75,6 +83,8 @@ class LangevinSimulation(Simulation):
                 system.masses,
                 dtype=self.dtype,
             )
+            if system.atom_mask is not None:
+                vel = vel * system.atom_mask[..., None]
             self.initial_system = system.replace(velocities=vel)
 
     def _timestep(self, carry: Dict) -> Dict:
@@ -166,6 +176,10 @@ class OverdampedSimulation(Simulation):
             system.beta[:, None], system.masses.shape
         )[..., None]
         self.diffusion = (1.0 / beta_atom / self.friction).astype(self.dtype)
+        if system.atom_mask is not None:
+            # Freeze padded atoms exactly: zero diffusion kills both the
+            # drift (F * dtau, F already zero) and the noise term.
+            self.diffusion = self.diffusion * system.atom_mask[..., None]
         self._dtau = self.diffusion * self.dt
 
     def _timestep(self, carry: Dict) -> Dict:

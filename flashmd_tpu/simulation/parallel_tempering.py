@@ -70,6 +70,15 @@ class PTSimulation(LangevinSimulation):
     # ------------------------------------------------------------------
 
     def attach_model_and_configurations(self, model, configurations, betas):
+        if isinstance(model, (list, tuple)):
+            # The replica-extension below replicates configurations per
+            # beta; extending a stacked per-molecule prior pytree the
+            # same way is plumbing nobody has asked for yet. Mixed-size
+            # batches are a plain-Langevin/NVE feature for now.
+            raise NotImplementedError(
+                "Parallel tempering does not support mixed-size batches "
+                "(lists of per-molecule force fields)."
+            )
         self._attach_model(model)
         self._attach_configurations(configurations, betas)
         self._dump_specialized_model(configurations)

@@ -47,6 +47,11 @@ class NVESimulation(Simulation):
                 system.masses,
                 dtype=self.dtype,
             )
+            if system.atom_mask is not None:
+                # Mixed batch: padded atoms start AND stay at rest (their
+                # forces are identically zero, so velocity-Verlet never
+                # moves them).
+                vel = vel * system.atom_mask[..., None]
             self.initial_system = system.replace(velocities=vel)
 
     def _timestep(self, carry: Dict) -> Dict:
