@@ -59,6 +59,14 @@ class ForceField(struct.PyTreeNode):
     # compute_energy_forces. The SchNet parameters stay shared (one
     # transferable network, per-molecule priors).
     batched_priors: bool = struct.field(pytree_node=False, default=False)
+    # Sub-minimum-image cells (xla path only): a STATIC tuple of (i, j,
+    # k) integer lattice shifts switching the neighbor build to explicit
+    # image replication — the regime the reference serves via
+    # torch_impl.py:102-163. Set by with_image_replication(); None means
+    # minimum image (validated sound at every concrete-cell entry).
+    pbc_images: Optional[tuple] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def rcut(self) -> float:
@@ -151,6 +159,7 @@ def build_neighbors(
         capacity=ff.neighbor_capacity,
         cell=cell,
         exclude_pairs=ff.exc_pair_index,
+        images=ff.pbc_images,
     )
 
 
@@ -206,11 +215,17 @@ def compute_energy_forces(
                 f"(got {ff.schnet_config.message_passing!r}); the dense/"
                 "pallas paths compute pair geometry from raw positions."
             )
-    if cell is not None and ff.schnet_params is not None:
+    if (
+        cell is not None
+        and ff.schnet_params is not None
+        and ff.pbc_images is None
+    ):
         # Concrete cells are checked here so direct API users (not just
         # Simulation.attach) hit the minimum-image soundness wall; inside
         # a jitted rollout the cell is a tracer and the attach-time check
         # (simulation/base.py:_check_min_image_soundness) already ran.
+        # A force field carrying pbc_images replicates images instead
+        # (with_image_replication) — sound for any cell size.
         validate_min_image(cell, ff.rcut, context="compute_energy_forces")
     if ff.exc_pair_index is not None and ff.schnet_params is not None:
         if ff.schnet_config.message_passing in ("dense", "cheb"):
@@ -329,3 +344,42 @@ def stack_forcefields(ffs) -> ForceField:
         neighbor_capacity=max(ff.neighbor_capacity for ff in ffs),
         batched_priors=True,
     )
+
+
+def with_image_replication(
+    ff: ForceField, cell, skin: float = 0.0
+) -> ForceField:
+    """Bind an explicit image-replication shift set to the force field.
+
+    Enables SUB-minimum-image periodic cells (rcut + skin >= half the
+    smallest perpendicular cell width) on the xla message-passing path:
+    the neighbor build enumerates every lattice image that can reach
+    the search radius (ops/neighborlist.compute_image_shifts, the
+    counterpart of the reference's compute_images,
+    torch_impl.py:102-163), and the image offsets ride the neighbor
+    matrix's shift vectors — the model is unchanged. For cells already
+    in the minimum-image regime this is unnecessary (and slower: M
+    times the candidate columns).
+
+    ``skin`` must match the simulation's ``neighbor_skin`` — the shift
+    range covers the full search radius so the amortized Verlet list
+    stays exact between rebuilds.
+
+    Raises for non-xla paths: cheb computes the minimum image inside
+    its pair geometry (sound only in the minimum-image regime) and
+    dense/pallas refuse cells outright.
+    """
+    from ..ops.neighborlist import compute_image_shifts
+
+    if ff.schnet_params is not None and (
+        ff.schnet_config.message_passing != "xla"
+    ):
+        raise NotImplementedError(
+            "Image replication (sub-minimum-image cells) requires "
+            "message_passing='xla' (got "
+            f"{ff.schnet_config.message_passing!r}): the cheb kernels "
+            "apply the minimum image in-kernel, which is unsound for "
+            "cells this small."
+        )
+    shifts = compute_image_shifts(cell, ff.rcut + skin)
+    return ff.replace(pbc_images=tuple(map(tuple, shifts.tolist())))

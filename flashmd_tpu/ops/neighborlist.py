@@ -34,13 +34,15 @@ cell — valid iff rcut is smaller than HALF the smallest perpendicular cell
 width, which :func:`validate_min_image` enforces at every concrete-cell
 entry point (a violation would silently produce wrong periodic physics:
 each atom pair interacts through at most one image under minimum image,
-while a small cell has several in range). The reference instead supports
-arbitrarily small cells via explicit image replication
-(torch_impl.py:102-163); that regime — cells smaller than ~2 rcut, i.e. a
-handful of CG beads per box — is a deliberate scope cut here (documented
-in PARITY.md): CG protein simulation runs one molecule per (large) box,
-and the hard validation closes the silent-wrong-physics window the
-docstring alone left open (VERDICT r4).
+while a small cell has several in range). Cells BELOW that regime are
+served by explicit image replication (:func:`compute_image_shifts` +
+the ``images=`` build — the counterpart of the reference's
+torch_impl.py:102-163): candidate neighbors enumerate every lattice
+image that can reach the search radius, indices fold back to real atoms,
+and the image offsets ride the shift vectors, so downstream consumers
+are unchanged. The engine switches automatically on the xla path
+(simulation/base._check_min_image_soundness); paths that compute the
+minimum image in-kernel (cheb) refuse loudly instead (VERDICT r4).
 """
 
 from __future__ import annotations
@@ -109,6 +111,52 @@ def min_cell_width(cell) -> float:
         for k in range(3)
     ]
     return min(widths)
+
+
+def compute_image_shifts(cell, rcut: float):
+    """Integer lattice shift set for explicit image replication.
+
+    For cells SMALLER than the minimum-image regime (rcut >= width/2),
+    the full periodic physics needs every lattice image whose shifted
+    copy of an atom can sit within ``rcut`` of another (wrapped) atom.
+    Along reciprocal direction k a displacement's perpendicular
+    component is |f_k| * width_k with wrapped fractional difference
+    |f_k| < 1, so shifts up to ``floor(rcut / width_k) + 1`` suffice
+    (the deliberate overshoot only adds images that fail the distance
+    test). Returns an [M, 3] int numpy array with the ZERO shift first
+    (callers rely on images[0] == 0 to exclude the self diagonal).
+
+    The counterpart of the reference's ``compute_images``
+    (reference: src/flashmd/neighbor_list/torch_impl.py:102-163),
+    computed host-side once per (cell, rcut) — the shift set is a
+    static property of the run, not a traced value.
+
+    ``cell`` may be [3, 3] or [S, 3, 3] (the union range over the batch).
+    """
+    import numpy as np
+
+    c = np.asarray(cell, dtype=np.float64)
+    if c.ndim == 2:
+        c = c[None]
+    n = [0, 0, 0]
+    for k in range(3):
+        # per-axis perpendicular width: the tightest over the batch
+        wk = min(
+            abs(float(np.linalg.det(one)))
+            / float(np.linalg.norm(np.cross(one[(k + 1) % 3],
+                                            one[(k + 2) % 3])))
+            for one in c
+        )
+        n[k] = int(np.floor(rcut / wk)) + 1
+    grids = np.meshgrid(
+        *(np.arange(-nk, nk + 1) for nk in n), indexing="ij"
+    )
+    shifts = np.stack([g.ravel() for g in grids], axis=1)
+    # zero shift first
+    zero = np.all(shifts == 0, axis=1)
+    return np.concatenate([shifts[zero], shifts[~zero]], axis=0).astype(
+        np.int64
+    )
 
 
 def validate_min_image(cell, rcut: float, context: str = "") -> None:
@@ -180,6 +228,7 @@ def radius_neighbor_matrix(
     cell: Optional[jnp.ndarray] = None,
     self_interaction: bool = False,
     exclude_pairs: Optional[jnp.ndarray] = None,
+    images=None,
 ) -> NeighborMatrix:
     """Build the padded neighbor matrix of one molecule.
 
@@ -193,13 +242,30 @@ def radius_neighbor_matrix(
     cell: optional [3, 3] lattice (rows are lattice vectors) for
         minimum-image PBC.
     self_interaction: include i == i pairs (the reference forbids this,
-        schnet.py:146-150; kept for API parity).
+        schnet.py:146-150; kept for API parity). With image replication
+        this excludes only the ZERO-shift self pair — an atom genuinely
+        interacts with its own periodic images in a sub-rcut cell.
     exclude_pairs: optional [2, P] index pairs to exclude (equivalent of the
-        reference's ``exc_pair_index``, schnet.py:221-242).
+        reference's ``exc_pair_index``, schnet.py:221-242). Under image
+        replication the exclusion removes EVERY image of the pair.
+    images: optional [M, 3] integer lattice shifts (STATIC — from
+        :func:`compute_image_shifts`, zero shift first) switching the
+        build to explicit image replication: the full periodic physics
+        for cells SMALLER than the minimum-image regime (the regime the
+        reference serves via torch_impl.py:102-163). Neighbor indices
+        fold back to real atoms; the image offset rides ``shifts``, so
+        downstream consumers are unchanged.
 
     Batch over molecules with ``jax.vmap``.
     """
     n_atoms = pos.shape[0]
+    if images is not None:
+        if cell is None:
+            raise ValueError("image replication requires a cell")
+        return _radius_neighbor_matrix_images(
+            pos, rcut, capacity, cell, images, self_interaction,
+            exclude_pairs,
+        )
     validate_min_image(cell, rcut, context="radius_neighbor_matrix")
     dr = _pairwise_displacements(pos, cell)
     d2 = jnp.sum(dr * dr, axis=-1)  # [A, A]
@@ -243,6 +309,84 @@ def radius_neighbor_matrix(
     return NeighborMatrix(idx=idx, mask=mask, n_max=n_max, shifts=shifts)
 
 
+def _radius_neighbor_matrix_images(
+    pos, rcut, capacity, cell, images, self_interaction, exclude_pairs
+):
+    """Image-replication neighbor build (sub-minimum-image cells).
+
+    Candidate columns are (image m, atom j) pairs over wrapped
+    positions; selected neighbors fold back to the real atom index with
+    the image offset carried by the shift vector, computed so that
+    ``pos[j] + shift - pos[i]`` reproduces the periodic displacement for
+    the RAW (unwrapped) positions the model sees.
+    """
+    n_atoms = pos.shape[0]
+    hp = jax.lax.Precision.HIGHEST
+    cellj = jnp.asarray(cell, pos.dtype)
+    posw = wrap_positions(pos, cellj)
+    import numpy as np
+
+    images_np = np.asarray(images)
+    if images_np.ndim != 2 or images_np.shape[1] != 3:
+        raise ValueError(f"images must be [M, 3], got {images_np.shape}")
+    if np.any(images_np[0] != 0):
+        raise ValueError(
+            "images[0] must be the zero shift (compute_image_shifts "
+            "puts it first; the self-pair exclusion relies on it)"
+        )
+    imgs = jnp.asarray(images_np, pos.dtype)  # [M, 3] integer shifts
+    m_img = imgs.shape[0]
+    sv = jnp.matmul(imgs, cellj, precision=hp)  # [M, 3]
+    ghost = (posw[None, :, :] + sv[:, None, :]).reshape(-1, 3)  # [M*A, 3]
+    dr = ghost[None, :, :] - posw[:, None, :]  # [A, M*A, 3]
+    d2 = jnp.sum(dr * dr, axis=-1)  # [A, M*A]
+
+    valid = d2 < (rcut * rcut)
+    if not self_interaction:
+        # zero-shift self pairs only (images[0] == 0): an atom IS a
+        # neighbor of its own non-zero images in a sub-rcut cell.
+        eye = jnp.eye(n_atoms, dtype=bool)
+        valid = valid & ~jnp.concatenate(
+            [eye, jnp.zeros((n_atoms, (m_img - 1) * n_atoms), bool)],
+            axis=1,
+        )
+    if exclude_pairs is not None:
+        excl = jnp.zeros((n_atoms, n_atoms), dtype=bool)
+        excl = excl.at[exclude_pairs[0], exclude_pairs[1]].set(True)
+        excl = excl.at[exclude_pairs[1], exclude_pairs[0]].set(True)
+        valid = valid & ~jnp.tile(excl, (1, m_img))
+
+    k_eff = min(capacity, m_img * n_atoms)
+    key = jnp.where(valid, d2, jnp.inf)
+    _, order = jax.lax.top_k(-key, k_eff)  # [A, k_eff] column indices
+    mask = jnp.take_along_axis(valid, order, axis=1)
+    row = jnp.arange(n_atoms, dtype=jnp.int32)[:, None]
+    j_real = (order % n_atoms).astype(jnp.int32)
+    idx = jnp.where(mask, j_real, row)
+
+    # shift s.t. pos[j] + shift - pos[i] == the periodic displacement,
+    # exact for raw (unwrapped) coordinates: dr is built from wrapped
+    # ghosts, so fold the wrap offsets into the shift.
+    pos_cols = pos[j_real]  # [A, k_eff, 3]
+    dr_sel = jnp.take_along_axis(dr, order[..., None], axis=1)
+    shifts = dr_sel - (pos_cols - pos[:, None, :])
+    shifts = jnp.where(mask[:, :, None], shifts, 0.0)
+
+    if k_eff < capacity:
+        pad = capacity - k_eff
+        idx = jnp.concatenate(
+            [idx, jnp.broadcast_to(row, (n_atoms, pad))], axis=1
+        )
+        mask = jnp.concatenate(
+            [mask, jnp.zeros((n_atoms, pad), dtype=bool)], axis=1
+        )
+        shifts = jnp.concatenate(
+            [shifts, jnp.zeros((n_atoms, pad, 3), shifts.dtype)], axis=1
+        )
+    n_max = jnp.max(jnp.sum(valid, axis=1)).astype(jnp.int32)
+    return NeighborMatrix(idx=idx, mask=mask, n_max=n_max, shifts=shifts)
+
+
 def batched_radius_neighbor_matrix(
     pos: jnp.ndarray,
     rcut: float,
@@ -250,15 +394,22 @@ def batched_radius_neighbor_matrix(
     cell: Optional[jnp.ndarray] = None,
     self_interaction: bool = False,
     exclude_pairs: Optional[jnp.ndarray] = None,
+    images=None,
 ) -> NeighborMatrix:
     """vmap of :func:`radius_neighbor_matrix` over a [S, A, 3] batch.
 
     ``cell`` may be a shared [3, 3] lattice or a per-simulation [S, 3, 3]
-    batch.
+    batch. ``images`` (static [M, 3] integer shifts) selects the
+    image-replication build for sub-minimum-image cells — one shared
+    shift set for the whole batch (compute_image_shifts takes the union
+    range over [S, 3, 3] cells).
     """
     # Inside the vmap the cell is a tracer, so validate here while it is
     # still concrete (first trace of a jitted rollout).
-    validate_min_image(cell, rcut, context="batched_radius_neighbor_matrix")
+    if images is None:
+        validate_min_image(
+            cell, rcut, context="batched_radius_neighbor_matrix"
+        )
     fn = lambda p, c: radius_neighbor_matrix(
         p,
         rcut,
@@ -266,6 +417,7 @@ def batched_radius_neighbor_matrix(
         cell=c,
         self_interaction=self_interaction,
         exclude_pairs=exclude_pairs,
+        images=images,
     )
     # Note: n_max stays per-simulation ([S]) so the result is vmap-able
     # along the batch axis; reduce with .max() when a scalar is needed.

@@ -401,22 +401,40 @@ class Simulation:
         INCLUDING the Verlet skin: the amortized list searches at
         rcut + neighbor_skin, so that is the radius that must stay below
         half the smallest perpendicular cell width (the cheb path applies
-        minimum image directly at rcut). Raising here closes the
-        silent-wrong-physics window (VERDICT r4); the reference instead
-        replicates images for small cells (torch_impl.py:102-163) —
-        a deliberate scope cut, see PARITY.md."""
+        minimum image directly at rcut). Sub-minimum-image cells on the
+        xla path switch to explicit image replication automatically
+        (models/forcefield.with_image_replication — the regime the
+        reference serves via torch_impl.py:102-163); other paths raise,
+        closing the silent-wrong-physics window (VERDICT r4)."""
         ff = self.model
         cell = self.initial_system.cell
         if cell is None or ff is None or ff.schnet_params is None:
             return
+        if ff.pbc_images is not None:
+            return  # replication already bound — sound for any cell
         from ..ops.neighborlist import validate_min_image
 
         search_r = ff.rcut + (
             self.neighbor_skin if self._uses_neighbor_list() else 0.0
         )
-        validate_min_image(
-            cell, search_r, context="attach_model_and_configurations"
-        )
+        try:
+            validate_min_image(
+                cell, search_r, context="attach_model_and_configurations"
+            )
+        except ValueError:
+            if ff.schnet_config.message_passing != "xla":
+                raise
+            from ..models.forcefield import with_image_replication
+
+            skin = (
+                self.neighbor_skin if self._uses_neighbor_list() else 0.0
+            )
+            self.model = with_image_replication(ff, cell, skin=skin)
+            logger.info(
+                "[pbc] cell below the minimum-image regime: switched the "
+                "neighbor build to explicit image replication "
+                f"({len(self.model.pbc_images)} lattice images)"
+            )
 
     def _check_exclusion_binding(self, model, configurations):
         """A structure carrying ``exc_pair_index`` must be bound to a model
@@ -1122,6 +1140,19 @@ class Simulation:
         self.simulated_coords = []
         self.simulated_forces = [] if self.save_forces else None
         self.simulated_potential = [] if self.save_energies else None
+        if (
+            self.filename is not None
+            and self.initial_system is not None
+            and self.initial_system.atom_mask is not None
+            and is_io_process()
+        ):
+            # Mixed-size batch: exported trajectories are padded to the
+            # batch's max atom count — save the [S, A] real-atom mask
+            # once so downstream tooling can trim per molecule.
+            np.save(
+                f"{self.filename}_atom_mask.npy",
+                np.asarray(self.initial_system.atom_mask),
+            )
         if self.log_interval is not None:
             logger.info(
                 f"Generating {self.n_sims} simulations of n_timesteps "

@@ -262,11 +262,15 @@ def _one_pbc_config(rng, box):
     )
 
 
-def test_attach_refuses_unsound_cell_including_skin(ff):
+def test_attach_min_image_soundness_accounts_for_skin(ff):
     """The engine's amortized list searches at rcut + neighbor_skin, so
-    THAT radius must satisfy the minimum-image condition: a box sound for
-    rcut alone but not for rcut + skin must be refused at attach time
-    (simulation/base.py:_check_min_image_soundness)."""
+    THAT radius must satisfy the minimum-image condition. A box sound for
+    rcut alone but not for rcut + skin is below the minimum-image regime:
+    the xla path switches to explicit image replication at attach
+    (simulation/base.py:_check_min_image_soundness), covering the FULL
+    search radius so the amortized list stays exact; the cheb path, which
+    applies minimum image in-kernel, is refused for genuinely small boxes
+    (tests/models/test_pbc_images.py covers the replication physics)."""
     from flashmd_tpu.simulation import LangevinSimulation
 
     rng = np.random.default_rng(2)
@@ -276,17 +280,21 @@ def test_attach_refuses_unsound_cell_including_skin(ff):
         random_seed=7,
     )
 
+    # skin pushes the search radius past the wall -> xla switches to
+    # image replication (the shift set must span rcut + skin)
     sim = LangevinSimulation(neighbor_skin=1.0, **kw)
-    with pytest.raises(ValueError, match="[Mm]inimum-image"):
-        sim.attach_model_and_configurations(
-            ff, [_one_pbc_config(rng, box)], beta=1.67
-        )
+    sim.attach_model_and_configurations(
+        ff, [_one_pbc_config(rng, box)], beta=1.67
+    )
+    assert sim.model.pbc_images is not None
+    assert len(sim.model.pbc_images) >= 27
 
-    # a smaller skin brings the search radius back under the wall
+    # a smaller skin keeps the search radius under the wall: min image
     sim_ok = LangevinSimulation(neighbor_skin=0.5, **kw)
     sim_ok.attach_model_and_configurations(
         ff, [_one_pbc_config(rng, box)], beta=1.67
     )
+    assert sim_ok.model.pbc_images is None
 
     # the cheb path has no neighbor list — skin does not apply
     sim_cheb = LangevinSimulation(neighbor_skin=1.0, **kw)
@@ -294,9 +302,9 @@ def test_attach_refuses_unsound_cell_including_skin(ff):
         _cheb_ff(ff), [_one_pbc_config(rng, box)], beta=1.67
     )
 
-    # and a genuinely small box is refused on every path
+    # a genuinely small box: cheb cannot replicate images -> refused
     sim_bad = LangevinSimulation(neighbor_skin=0.0, **kw)
     with pytest.raises(ValueError, match="[Mm]inimum-image"):
         sim_bad.attach_model_and_configurations(
-            ff, [_one_pbc_config(rng, 3.0)], beta=1.67
+            _cheb_ff(ff), [_one_pbc_config(rng, 3.0)], beta=1.67
         )

@@ -251,6 +251,11 @@ def test_mixed_engine_run_freezes_padding(mixed_setup, tmp_path):
     sim.simulate()
     coords = np.concatenate(sim.simulated_coords, axis=0)  # [F, S, A, 3]
     assert np.all(np.isfinite(coords))
+    # The [S, A] real-atom mask is exported once for downstream trimming.
+    mask_np = np.load(str(tmp_path / "mixed_atom_mask.npy"))
+    np.testing.assert_array_equal(
+        mask_np, np.asarray(sim.initial_system.atom_mask)
+    )
     a0 = SIZES[0]
     pad0 = np.asarray(sim.initial_system.pos[0, a0:])
     # Every frame's padding rows match the initial ladder exactly.
